@@ -1,0 +1,34 @@
+"""Motion estimation and trajectory filtering."""
+
+from video_stab_tpu.motion.estimate import (
+    estimate_similarity_ransac,
+    estimate_rigid_closed_form,
+    remove_outliers_median,
+    transform_params_from_matrix,
+)
+from video_stab_tpu.motion.filters import (
+    box_filter_emit,
+    gaussian_filter_emit,
+    kalman_step,
+    butterworth_cascade,
+    adaptive_radius,
+)
+from video_stab_tpu.motion.intent import (
+    MotionIntent,
+    analyze_motion_intent,
+    intent_correction_scale,
+)
+from video_stab_tpu.motion.hf import (
+    HFState,
+    hf_init,
+    hf_apply,
+)
+
+__all__ = [
+    "estimate_similarity_ransac", "estimate_rigid_closed_form",
+    "remove_outliers_median", "transform_params_from_matrix",
+    "box_filter_emit", "gaussian_filter_emit", "kalman_step",
+    "butterworth_cascade", "adaptive_radius",
+    "MotionIntent", "analyze_motion_intent", "intent_correction_scale",
+    "HFState", "hf_init", "hf_apply",
+]

@@ -1,0 +1,108 @@
+"""Shi-Tomasi corner detection with fixed-capacity outputs.
+
+TPU-native counterpart of cv::goodFeaturesToTrack / cv::cuda::CornersDetector
+(reference: src/Stabilizer.cpp:339-359, 739-745; src/Stabilizer_legacy.cpp:167-176).
+
+Everything is static-shape: the detector returns exactly ``max_corners`` point
+slots plus a validity mask, so the whole pipeline stays jit-compatible. The
+min-distance greedy acceptance matches OpenCV's sorted-by-quality greedy scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from video_stab_tpu.ops.filters import sobel, sep_filter2d
+
+
+def min_eig_response(gray: jnp.ndarray, block_size: int = 3,
+                     aperture: int = 3) -> jnp.ndarray:
+    """cv::cornerMinEigenVal: min eigenvalue of the structure tensor, with
+    OpenCV's u8 normalization scale (1 / ((1 << (aperture-1)) * blockSize * 255)).
+    """
+    scale = 1.0 / ((1 << (aperture - 1)) * block_size * 255.0)
+    gx, gy = sobel(gray, aperture)
+    gx = gx * scale
+    gy = gy * scale
+    ones = tuple([1.0] * block_size)
+    sxx = sep_filter2d(gx * gx, ones, ones)
+    syy = sep_filter2d(gy * gy, ones, ones)
+    sxy = sep_filter2d(gx * gy, ones, ones)
+    half_tr = 0.5 * (sxx + syy)
+    half_df = 0.5 * (sxx - syy)
+    return half_tr - jnp.sqrt(half_df * half_df + sxy * sxy)
+
+
+def _dilate3x3(x: jnp.ndarray) -> jnp.ndarray:
+    out = x
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            out = jnp.maximum(out, jnp.roll(x, (-dy, -dx), axis=(0, 1)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_corners", "block_size",
+                                             "n_candidates"))
+def good_features_to_track(
+    gray: jnp.ndarray,
+    max_corners: int = 200,
+    quality_level: float = 0.01,
+    min_distance: float = 30.0,
+    block_size: int = 3,
+    roi: jnp.ndarray | None = None,
+    n_candidates: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """goodFeaturesToTrack with static shapes.
+
+    Args:
+      gray: (H, W) float32 u8-domain grayscale.
+      roi: optional (4,) [x, y, w, h] int array; response outside is zeroed
+           (the useROI path, Stabilizer.cpp:1197-1211).
+
+    Returns:
+      pts:  (max_corners, 2) float32 (x, y), quality-descending order.
+      mask: (max_corners,) bool validity.
+    """
+    h, w = gray.shape
+    resp = min_eig_response(gray, block_size)
+    if roi is not None:
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        inside = ((xs >= roi[0]) & (xs < roi[0] + roi[2]) &
+                  (ys >= roi[1]) & (ys < roi[1] + roi[3]))
+        resp = jnp.where(inside, resp, 0.0)
+    max_val = jnp.max(resp)
+    thresh = quality_level * max_val
+    is_peak = resp >= _dilate3x3(resp)
+    cand = jnp.where(is_peak & (resp > thresh), resp, -1.0)
+
+    n_cand = min(n_candidates, h * w)
+    top_vals, top_idx = jax.lax.top_k(cand.reshape(-1), n_cand)
+    cand_x = (top_idx % w).astype(jnp.float32)
+    cand_y = (top_idx // w).astype(jnp.float32)
+
+    k = max_corners
+    min_d2 = jnp.float32(min_distance * min_distance)
+
+    def body(i, carry):
+        pts, mask, count = carry
+        x, y, v = cand_x[i], cand_y[i], top_vals[i]
+        d2 = (pts[:, 0] - x) ** 2 + (pts[:, 1] - y) ** 2
+        too_close = jnp.any(mask & (d2 < min_d2))
+        ok = (v > 0.0) & (~too_close) & (count < k)
+        idx = jnp.where(ok, count, 0)
+        new_pt = jnp.stack([x, y])
+        pts = jnp.where(ok, pts.at[idx].set(new_pt), pts)
+        mask = jnp.where(ok, mask.at[idx].set(True), mask)
+        count = count + ok.astype(jnp.int32)
+        return pts, mask, count
+
+    pts0 = jnp.zeros((k, 2), jnp.float32)
+    mask0 = jnp.zeros((k,), bool)
+    pts, mask, _ = jax.lax.fori_loop(0, n_cand, body, (pts0, mask0, 0))
+    return pts, mask
