@@ -28,12 +28,16 @@ __version__ = "0.1.0"
 
 _LAZY = {
     "Stabilizer": "video_stab_tpu.core.stabilizer",
-    "StabilizerParams": "video_stab_tpu.core.stabilizer",
+    "StabilizerParams": "video_stab_tpu.core.params",
+    "LegacyStabilizer": "video_stab_tpu.core.legacy",
+    "LegacyStabilizerParams": "video_stab_tpu.core.params",
     "RollCorrection": "video_stab_tpu.core.rollcorrection",
-    "RollCorrectionParams": "video_stab_tpu.core.rollcorrection",
+    "RollCorrectionParams": "video_stab_tpu.core.params",
     "AutoZoomCrop": "video_stab_tpu.core.autozoomcrop",
+    "AutoZoomCropParams": "video_stab_tpu.core.params",
     "Enhancer": "video_stab_tpu.core.enhancer",
-    "EnhancerParams": "video_stab_tpu.core.enhancer",
+    "EnhancerParams": "video_stab_tpu.core.params",
+    "ModeParams": "video_stab_tpu.core.params",
 }
 
 
@@ -47,10 +51,14 @@ def __getattr__(name):
 __all__ = [
     "Stabilizer",
     "StabilizerParams",
+    "LegacyStabilizer",
+    "LegacyStabilizerParams",
     "RollCorrection",
     "RollCorrectionParams",
     "AutoZoomCrop",
+    "AutoZoomCropParams",
     "Enhancer",
     "EnhancerParams",
+    "ModeParams",
     "__version__",
 ]

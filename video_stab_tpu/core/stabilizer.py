@@ -1,0 +1,426 @@
+"""The streaming stabilizer — TPU-native rebuild of vs::Stabilizer.
+
+Reference: src/Stabilizer.cpp (2688 LoC of hidden-state C++/OpenCV-CUDA);
+public surface include/video/Stabilizer.h:177-198 (stabilize/flush/clean).
+
+Pipeline per frame (reference call stack, SURVEY.md §3.1):
+  analyze:  gray+resize -> [conditional CLAHE] -> sparse pyramidal LK ->
+            RANSAC similarity -> [drone HF chain] -> push transform+path
+            rings -> re-detect features every 2nd frame
+  emit:     smooth path at emit cursor (box/gaussian/kalman) ->
+            motion-intent correction scaling -> rigid matrix ->
+            border pad (black/reflect/replicate/wrap/fade) -> warpAffine ->
+            [fade history update] -> [crop+zoom]
+
+Differences from the reference, by design (all documented in DESIGN.md):
+- The whole step is two pure jitted functions over an explicit state pytree
+  (video_stab_tpu/core/state.py) — no hidden statics, vmappable across
+  streams, state donated so it stays resident in HBM.
+- Analysis resolution is static (params.analysis_width/height; the reference
+  uses 480x270 for the first frame then 960x540, Stabilizer.cpp:277, 410 —
+  one static shape compiles once and avoids the prev-frame re-resize path at
+  Stabilizer.cpp:598-603).
+- Full-path re-smoothing per emitted frame (O(N*r) CPU, Stabilizer.cpp:
+  783-839) is replaced by exact O(window) ring-buffer emission
+  (video_stab_tpu/motion/filters.py).
+- The look-ahead frame queue lives in device HBM as a uint8 ring so frames
+  cross host<->device exactly once each way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_stab_tpu.core.params import StabilizerParams
+from video_stab_tpu.core.state import (
+    PATH_RING,
+    StabilizerState,
+    stabilizer_state_init,
+)
+from video_stab_tpu.motion.estimate import estimate_similarity_ransac
+from video_stab_tpu.motion.filters import (
+    adaptive_radius,
+    box_filter_emit,
+    gaussian_filter_emit,
+    gaussian_kernel,
+    kalman_step,
+    ring_get,
+    ring_push,
+)
+from video_stab_tpu.motion.hf import hf_apply
+from video_stab_tpu.motion.intent import (
+    analyze_motion_intent,
+    intent_correction_scale,
+)
+from video_stab_tpu.ops.color import bgr_to_gray, saturate_u8
+from video_stab_tpu.ops.features import good_features_to_track
+from video_stab_tpu.ops.filters import clahe
+from video_stab_tpu.ops.lk import lk_track
+from video_stab_tpu.ops.resize import resize_bilinear
+from video_stab_tpu.ops.warp import (
+    BORDER_CONSTANT,
+    border_mode_from_name,
+    similarity_matrix,
+    warp_affine,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pure jitted steps
+# ---------------------------------------------------------------------------
+
+def _analysis_gray(params: StabilizerParams, frame_f32: jnp.ndarray) -> jnp.ndarray:
+    """Full-res BGR f32 -> analysis-resolution grayscale.
+
+    gray(resize(x)) == resize(gray(x)) exactly in float (both linear), so we
+    convert first and resize one channel instead of three
+    (reference order: resize then cvtColor, Stabilizer.cpp:448-450).
+    """
+    gray = bgr_to_gray(frame_f32)
+    return resize_bilinear(gray, params.analysis_height, params.analysis_width)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def stabilizer_init_step(params: StabilizerParams, state: StabilizerState,
+                         frame_u8: jnp.ndarray) -> StabilizerState:
+    """First-frame initialization (Stabilizer.cpp:271-368): analysis gray +
+    initial GFTT detection + queue the frame."""
+    frame_f32 = frame_u8.astype(jnp.float32)
+    gray = _analysis_gray(params, frame_f32)
+    roi = jnp.asarray(params.roi, jnp.int32) if params.use_roi else None
+    pts, mask = good_features_to_track(
+        gray, max_corners=params.max_corners,
+        quality_level=params.quality_level,
+        min_distance=params.min_distance,
+        block_size=params.block_size, roi=roi)
+    q = state.frame_ring.shape[0]
+    return state._replace(
+        prev_gray=gray,
+        prev_pts=pts,
+        prev_mask=mask,
+        frame_ring=state.frame_ring.at[state.n_frames % q].set(frame_u8),
+        n_frames=state.n_frames + 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def stabilizer_analyze_step(params: StabilizerParams, state: StabilizerState,
+                            frame_u8: jnp.ndarray,
+                            ) -> tuple[StabilizerState, dict]:
+    """Per-frame motion analysis (generateTransform, Stabilizer.cpp:402-761)."""
+    frame_f32 = frame_u8.astype(jnp.float32)
+    gray = _analysis_gray(params, frame_f32)
+
+    # Conditional CLAHE under feature starvation (drone mode). The reference's
+    # applyConditionalCLAHE calls shouldApplyConditionalCLAHE(-1) which resets
+    # the starvation counter and returns false (Stabilizer.cpp:2555-2573 —
+    # dead code as written); we implement the evident intent: enhance the
+    # analysis frame after >2 consecutive starved frames.
+    if params.drone_high_freq_mode and params.enable_conditional_clahe:
+        starved = state.starvation_counter > 2
+        gray = jax.lax.cond(
+            starved,
+            lambda g: clahe(g, clip_limit=2.0, tile_grid=8),
+            lambda g: g,
+            gray)
+
+    # Sparse pyramidal LK from the previous analysis frame.
+    curr_pts, status, _err = lk_track(
+        state.prev_gray, gray, state.prev_pts, state.prev_mask,
+        win=params.lk_window, max_level=params.lk_levels,
+        iters=params.lk_iters)
+    valid = state.prev_mask & status
+
+    # RANSAC 4-DOF similarity (estimateAffinePartial2D, Stabilizer.cpp:647-649).
+    key, sub = jax.random.split(state.key)
+    m, est_ok, inliers = estimate_similarity_ransac(
+        state.prev_pts, curr_pts, valid, sub,
+        threshold=params.ransac_threshold,
+        n_hypotheses=params.ransac_hypotheses)
+    dx = m[0, 2]
+    dy = m[1, 2]
+    da = jnp.arctan2(m[1, 0], m[0, 0])
+    raw = jnp.stack([dx, dy, da])
+
+    # Drone high-frequency vibration chain (Stabilizer.cpp:583-588).
+    hf = state.hf
+    if params.drone_high_freq_mode:
+        hf, raw = hf_apply(
+            hf, raw,
+            dead_zone_threshold=params.hf_dead_zone_threshold,
+            freeze_duration=params.hf_freeze_duration,
+            accumulator_decay=params.hf_motion_accumulator_decay,
+            shake_px=params.hf_shake_px,
+            rot_lp_alpha=params.hf_rot_lp_alpha,
+            horizon_lock=params.horizon_lock)
+
+    # Push raw transform + cumulative path into the rings (Stabilizer.cpp:680-687).
+    n = state.n_path
+    prev_path = jnp.where(n > 0, ring_get(state.path_ring, n - 1),
+                          jnp.zeros(3, jnp.float32))
+    new_path = jnp.where(n > 0, prev_path + raw, raw)
+    trans_ring = ring_push(state.trans_ring, n, raw)
+    path_ring = ring_push(state.path_ring, n, new_path)
+    n = n + 1
+
+    # Feature starvation tracking for conditional CLAHE.
+    n_tracked = jnp.sum(valid.astype(jnp.int32))
+    starvation = jnp.where(n_tracked < 40, state.starvation_counter + 1,
+                           jnp.int32(0))
+
+    # Re-detect features every redetect_interval-th processed frame with the
+    # fast re-detect parameters (Stabilizer.cpp:696-747: maxCorners<=200,
+    # quality 0.02, minDistance 15, blockSize 3).
+    def redetect(_):
+        return good_features_to_track(
+            gray, max_corners=params.max_corners,
+            quality_level=0.02, min_distance=15.0, block_size=3)
+
+    def keep(_):
+        return curr_pts, valid
+
+    prev_pts, prev_mask = jax.lax.cond(
+        (n % params.redetect_interval) == 0, redetect, keep, None)
+
+    q = state.frame_ring.shape[0]
+    new_state = state._replace(
+        prev_gray=gray,
+        prev_pts=prev_pts,
+        prev_mask=prev_mask,
+        trans_ring=trans_ring,
+        path_ring=path_ring,
+        n_path=n,
+        frame_ring=state.frame_ring.at[state.n_frames % q].set(frame_u8),
+        n_frames=state.n_frames + 1,
+        hf=hf,
+        starvation_counter=starvation,
+        key=key,
+    )
+    metrics = {
+        "n_tracked": n_tracked,
+        "n_inliers": jnp.sum(inliers.astype(jnp.int32)),
+        "estimate_ok": est_ok,
+        "transform": raw,
+    }
+    return new_state, metrics
+
+
+def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
+                      e: jnp.ndarray) -> tuple[StabilizerState, jnp.ndarray]:
+    """Smoothed path value at emit index e, per smoothing_method
+    (Stabilizer.cpp:793-823)."""
+    if params.smoothing_method == "gaussian":
+        kernel = gaussian_kernel(params.gaussian_sigma)
+        sm = gaussian_filter_emit(state.path_ring, state.n_path, e, kernel)
+        return state, sm
+    if params.smoothing_method == "kalman":
+        # Forward-pass KF value at e depends only on path[0..e]; advance the
+        # cursor state one step per emitted frame (Stabilizer.cpp:1416-1458).
+        z = ring_get(state.path_ring, e)
+
+        def init(_):
+            x = jnp.stack([z, jnp.zeros_like(z)], axis=0)
+            p = jnp.zeros((2, 2, 3), jnp.float32)
+            return x, p, z
+
+        def step(_):
+            st, out = kalman_step(
+                {"x": state.kalman_x, "p": state.kalman_p}, z)
+            return st["x"], st["p"], out
+
+        kx, kp, sm = jax.lax.cond(e == 0, init, step, None)
+        return state._replace(kalman_x=kx, kalman_p=kp), sm
+    # Box filter with adaptive radius (Stabilizer.cpp:808-823, 1139-1172).
+    ar = adaptive_radius(state.path_ring, state.n_path, params.smoothing_radius)
+    if params.drone_high_freq_mode:
+        r = jnp.clip(ar, 10, 50)
+        r_max = 50
+    else:
+        r = jnp.clip(ar, 2, 8)
+        r_max = 8
+    sm = box_filter_emit(state.path_ring, state.n_path, e, r, r_max)
+    return state, sm
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def stabilizer_emit_step(params: StabilizerParams, state: StabilizerState,
+                         ) -> tuple[StabilizerState, jnp.ndarray]:
+    """Emit the oldest queued frame, stabilized
+    (applyNextSmoothTransform, Stabilizer.cpp:763-1137)."""
+    e = state.emit_idx
+    has_transform = e < state.n_path
+
+    raw = jnp.where(has_transform, ring_get(state.trans_ring, e),
+                    jnp.zeros(3, jnp.float32))
+    path_e = ring_get(state.path_ring, jnp.minimum(e, state.n_path - 1))
+
+    state, smoothed = _smoothed_at_emit(params, state, jnp.minimum(e, state.n_path - 1))
+    diff = smoothed - path_e
+
+    # Motion-intent correction scaling (Stabilizer.cpp:854-888).
+    intent = analyze_motion_intent(state.trans_ring, state.n_path, raw, e)
+    scale = intent_correction_scale(intent, raw, e)
+    diff = diff * scale
+
+    t_smooth = jnp.where(has_transform, raw + diff, jnp.zeros(3, jnp.float32))
+    dx, dy = t_smooth[0], t_smooth[1]
+    da = jnp.where(params.horizon_lock, 0.0, t_smooth[2])  # (897-899)
+    t_mat = similarity_matrix(dx, dy, da)
+
+    q = state.frame_ring.shape[0]
+    frame = state.frame_ring[e % q].astype(jnp.float32)
+    h, w = frame.shape[0], frame.shape[1]
+    b = params.border_pad
+
+    fade_history = state.fade_history
+    fade_count = state.fade_count
+
+    pad_mode = border_mode_from_name(params.border_type)
+    if b > 0 and not params.crop_n_zoom:
+        # copyMakeBorder with the configured mode (Stabilizer.cpp:914-991).
+        if params.border_type in ("black", "fade"):
+            padded = jnp.pad(frame, ((b, b), (b, b), (0, 0)))
+        elif params.border_type == "replicate":
+            padded = jnp.pad(frame, ((b, b), (b, b), (0, 0)), mode="edge")
+        elif params.border_type in ("reflect",):
+            padded = jnp.pad(frame, ((b, b), (b, b), (0, 0)), mode="symmetric")
+        elif params.border_type in ("reflect_101", "reflect101"):
+            padded = jnp.pad(frame, ((b, b), (b, b), (0, 0)), mode="reflect")
+        elif params.border_type == "wrap":
+            padded = jnp.pad(frame, ((b, b), (b, b), (0, 0)), mode="wrap")
+        else:
+            padded = jnp.pad(frame, ((b, b), (b, b), (0, 0)))
+
+        if params.border_type == "fade":
+            # Border-region temporal blend (Stabilizer.cpp:914-972).
+            ys = jnp.arange(h + 2 * b)[:, None]
+            xs = jnp.arange(w + 2 * b)[None, :]
+            is_border = ~((ys >= b) & (ys < b + h) & (xs >= b) & (xs < b + w))
+            is_border3 = is_border[:, :, None]
+            history = jnp.where(fade_count == 0, padded, fade_history)
+            alpha = jnp.where(
+                fade_count < params.fade_duration,
+                params.fade_alpha * fade_count.astype(jnp.float32)
+                / params.fade_duration,
+                params.fade_alpha)
+            blended = alpha * history + (1.0 - alpha) * padded
+            padded = jnp.where(is_border3, blended, padded)
+            fade_count = fade_count + 1
+        stabilized = warp_affine(padded, t_mat, border_mode=BORDER_CONSTANT)
+        if params.border_type == "fade":
+            # Post-warp history update at rate 0.1 in border regions
+            # (Stabilizer.cpp:1070-1106).
+            new_hist = jnp.where(is_border3,
+                                 0.9 * history + 0.1 * stabilized,
+                                 stabilized)
+            fade_history = new_hist
+        out = stabilized
+    else:
+        stabilized = warp_affine(frame, t_mat, border_mode=BORDER_CONSTANT)
+        out = stabilized
+
+    if params.crop_n_zoom and b > 0:
+        # Crop the border then zoom back to the original size
+        # (Stabilizer.cpp:1108-1124). Frame is unpadded in this mode, so the
+        # crop removes 2b pixels from the warped original-size frame.
+        cropped = out[b:h - b, b:w - b]
+        out = resize_bilinear(cropped, h, w)
+
+    out_u8 = saturate_u8(out)
+    new_state = state._replace(
+        emit_idx=e + 1,
+        fade_history=fade_history,
+        fade_count=fade_count,
+    )
+    return new_state, out_u8
+
+
+# ---------------------------------------------------------------------------
+# User-facing streaming wrapper (mirrors vs::Stabilizer's public API)
+# ---------------------------------------------------------------------------
+
+class Stabilizer:
+    """Streaming stabilizer with the reference's push/pull API
+    (include/video/Stabilizer.h:187-198): ``stabilize(frame)`` returns a
+    stabilized frame once ``effective_radius`` frames have accumulated, else
+    None; ``flush()`` drains the look-ahead queue; ``clean()`` resets.
+
+    Frames are HxWx3 uint8 BGR numpy arrays (or anything np.asarray-able).
+    Output spatial size is (H+2*border_size, W+2*border_size) when
+    border_size > 0 and crop_n_zoom is off, else (H, W) — same as the
+    reference.
+    """
+
+    def __init__(self, params: Optional[StabilizerParams] = None, **kw):
+        if params is None:
+            params = StabilizerParams(**kw)
+        elif kw:
+            raise ValueError("pass either params or keyword overrides")
+        if params.enable_virtual_canvas:
+            from video_stab_tpu.core import canvas as _canvas  # noqa: F401
+        self.params = params
+        self._state: Optional[StabilizerState] = None
+        self._shape: Optional[tuple] = None
+        self.last_metrics: dict = {}
+
+    # -- internal ----------------------------------------------------------
+    def _ensure_state(self, frame: np.ndarray) -> None:
+        h, w = frame.shape[:2]
+        if self._state is None:
+            self._state = stabilizer_state_init(self.params, h, w)
+            self._shape = (h, w)
+        elif self._shape != (h, w):
+            raise ValueError(
+                f"frame size changed {self._shape} -> {(h, w)}; call clean()")
+
+    @property
+    def _queued(self) -> int:
+        if self._state is None:
+            return 0
+        return int(self._state.n_frames) - int(self._state.emit_idx)
+
+    # -- public API --------------------------------------------------------
+    def stabilize(self, frame) -> Optional[np.ndarray]:
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        if frame.ndim == 2:
+            frame = np.repeat(frame[:, :, None], 3, axis=2)
+        self._ensure_state(frame)
+        st = self._state
+        if int(st.n_frames) == 0:
+            self._state = stabilizer_init_step(self.params, st, frame)
+            return None
+        self._state, metrics = stabilizer_analyze_step(self.params, st, frame)
+        self.last_metrics = metrics
+        if self._queued < self.params.effective_radius:
+            return None
+        self._state, out = stabilizer_emit_step(self.params, self._state)
+        return np.asarray(out)
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Drain one remaining queued frame (Stabilizer.cpp:394-400)."""
+        if self._state is None or self._queued <= 0:
+            return None
+        self._state, out = stabilizer_emit_step(self.params, self._state)
+        return np.asarray(out)
+
+    def clean(self) -> None:
+        """Reset all streaming state (Stabilizer.cpp:221-256)."""
+        self._state = None
+        self._shape = None
+        self.last_metrics = {}
+
+    # Serializable state for stream migration/resume (the streaming analog of
+    # checkpointing — SURVEY.md §5).
+    def state_dict(self) -> Optional[StabilizerState]:
+        if self._state is None:
+            return None
+        return jax.tree_util.tree_map(np.asarray, self._state)
+
+    def load_state_dict(self, state, height: int, width: int) -> None:
+        self._state = jax.tree_util.tree_map(jnp.asarray, state)
+        self._shape = (height, width)
