@@ -1,0 +1,57 @@
+"""Test configuration: force JAX onto CPU (with 8 virtual devices for
+sharding tests) BEFORE jax initializes, and keep OpenCV single-threaded
+(cv2 + JAX share this box's one core; cv2's thread pool can deadlock)."""
+
+import os
+
+os.environ["PALLAS_AXON_POOL_IPS"] = ""          # detach the axon TPU backend
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import cv2  # noqa: E402
+
+cv2.setNumThreads(0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_textured(h, w, seed=0, sigma=2.0):
+    """Smooth random texture in [0, 255] — featureful synthetic content."""
+    r = np.random.default_rng(seed)
+    img = r.random((h, w)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (0, 0), sigma)
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return (img * 255.0).astype(np.float32)
+
+
+def make_bgr(h, w, seed=0):
+    r = np.random.default_rng(seed)
+    img = np.stack([make_textured(h, w, seed + i) for i in range(3)], axis=-1)
+    return img.astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def jittered_clip():
+    """A synthetic clip: a larger textured world viewed through a jittering
+    window — known camera motion, featureful content."""
+    world = make_textured(200, 300, seed=7, sigma=2.0)
+    r = np.random.default_rng(42)
+    frames, motions = [], []
+    x0, y0 = 30.0, 30.0
+    for _ in range(24):
+        dx, dy = r.normal(0.0, 2.0, 2)
+        m = np.float32([[1, 0, -(x0 + dx)], [0, 1, -(y0 + dy)]])
+        f = cv2.warpAffine(world, m, (128, 96))
+        frames.append(np.repeat(f[:, :, None], 3, 2).astype(np.uint8))
+        motions.append((dx, dy))
+    return frames, motions

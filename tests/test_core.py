@@ -1,0 +1,219 @@
+"""Integration tests for the core component APIs (small frames — this box
+has one CPU core and the full stabilizer step is a large XLA program)."""
+
+import numpy as np
+import pytest
+
+from video_stab_tpu import (
+    AutoZoomCrop,
+    AutoZoomCropParams,
+    Enhancer,
+    EnhancerParams,
+    LegacyStabilizer,
+    LegacyStabilizerParams,
+    RollCorrection,
+    RollCorrectionParams,
+    Stabilizer,
+    StabilizerParams,
+)
+
+import cv2
+
+SMALL = dict(analysis_width=128, analysis_height=96, ransac_hypotheses=64,
+             max_corners=64)
+
+
+def run_clip(st, frames, flush=True):
+    outs = []
+    for f in frames:
+        o = st.stabilize(f)
+        if o is not None:
+            outs.append(o)
+    if flush:
+        while (o := st.flush()) is not None:
+            outs.append(o)
+    return outs
+
+
+def jitter_energy(frames):
+    """Mean frame-to-frame absolute difference over the interior."""
+    diffs = []
+    for a, b in zip(frames[:-1], frames[1:]):
+        ia = a[12:-12, 12:-12].astype(np.float32)
+        ib = b[12:-12, 12:-12].astype(np.float32)
+        diffs.append(np.abs(ia - ib).mean())
+    return float(np.mean(diffs))
+
+
+class TestStabilizer:
+    def test_warmup_then_emit(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=6, **SMALL))
+        outs = []
+        nones = 0
+        for f in frames[:10]:
+            o = st.stabilize(f)
+            if o is None:
+                nones += 1
+            else:
+                outs.append(o)
+        assert nones == 6          # first frame + effective_radius-1 warm-up
+        assert all(o.shape == frames[0].shape for o in outs)
+        assert all(o.dtype == np.uint8 for o in outs)
+
+    def test_reduces_jitter(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=8, **SMALL))
+        outs = run_clip(st, frames)
+        assert len(outs) == len(frames) - 1  # all but the first frame emitted
+        raw_e = jitter_energy(frames)
+        stab_e = jitter_energy(outs[2:])     # skip transient
+        assert stab_e < raw_e * 0.9, (stab_e, raw_e)
+
+    def test_flush_drains_queue(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=6, **SMALL))
+        emitted = sum(st.stabilize(f) is not None for f in frames[:8])
+        flushed = 0
+        while st.flush() is not None:
+            flushed += 1
+        assert emitted + flushed == 7   # everything but frame 0... emitted
+        assert st.flush() is None
+
+    def test_border_padding_output_shape(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=6, border_size=8,
+                                         border_type="replicate", **SMALL))
+        outs = run_clip(st, frames[:9], flush=False)
+        h, w = frames[0].shape[:2]
+        assert outs[0].shape == (h + 16, w + 16, 3)
+
+    def test_crop_n_zoom_keeps_size(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=6, border_size=8,
+                                         crop_n_zoom=True, **SMALL))
+        outs = run_clip(st, frames[:9], flush=False)
+        assert outs[0].shape == frames[0].shape
+
+    def test_clean_resets(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=6, **SMALL))
+        for f in frames[:4]:
+            st.stabilize(f)
+        st.clean()
+        assert st.stabilize(frames[0]) is None   # first frame again
+
+    def test_state_roundtrip(self, jittered_clip):
+        frames, _ = jittered_clip
+        p = StabilizerParams(smoothing_radius=6, **SMALL)
+        st = Stabilizer(p)
+        for f in frames[:8]:
+            st.stabilize(f)
+        snap = st.state_dict()
+        a = st.stabilize(frames[8])
+        st2 = Stabilizer(p)
+        h, w = frames[0].shape[:2]
+        st2.load_state_dict(snap, h, w)
+        b = st2.stabilize(frames[8])
+        assert a is not None and b is not None
+        assert np.array_equal(a, b)
+
+
+class TestLegacyStabilizer:
+    def test_first_frame_passthrough(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = LegacyStabilizer(LegacyStabilizerParams(smoothing_radius=5,
+                                                     max_corners=64))
+        out = st.stabilize(frames[0])
+        assert np.array_equal(out, frames[0])
+
+    def test_reduces_jitter(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = LegacyStabilizer(LegacyStabilizerParams(smoothing_radius=8,
+                                                     max_corners=64))
+        outs = run_clip(st, frames)
+        raw_e = jitter_energy(frames)
+        stab_e = jitter_energy(outs[2:])
+        assert stab_e < raw_e * 0.9, (stab_e, raw_e)
+
+
+class TestRollCorrection:
+    def test_estimates_roll_angle(self):
+        # A strong horizon line rolled by -4 degrees.
+        img = np.full((96, 128, 3), 40, np.uint8)
+        img[:48] = 180
+        m = cv2.getRotationMatrix2D((64, 48), -4.0, 1.0)
+        rolled = cv2.warpAffine(img, m, (128, 96),
+                                borderMode=cv2.BORDER_REPLICATE)
+        rc = RollCorrection(RollCorrectionParams(scale_factor=0.5,
+                                                 hough_threshold=20))
+        for _ in range(40):
+            out = rc.auto_correct_roll(rolled)
+        # EMA converges toward the rolled angle (sign: rotate back)
+        assert abs(rc.smoothed_angle - (-4.0)) < 1.5, rc.smoothed_angle
+        assert out.shape == rolled.shape
+
+    def test_decays_without_lines(self):
+        noise = np.random.default_rng(0).integers(
+            0, 255, (64, 80, 3), dtype=np.uint8) * 0
+        rc = RollCorrection(RollCorrectionParams())
+        rc._state = rc._state._replace(smoothed_angle=np.float32(5.0))
+        rc.auto_correct_roll(noise)
+        assert rc.smoothed_angle < 5.0
+
+
+class TestAutoZoomCrop:
+    def test_removes_black_corners(self):
+        img = np.full((96, 128, 3), 128, np.uint8)
+        img[:, :, 1] = 90
+        m = cv2.getRotationMatrix2D((64, 48), 12.0, 1.0)
+        rot = cv2.warpAffine(img, m, (128, 96))
+        az = AutoZoomCrop(AutoZoomCropParams(out_width=128, out_height=96))
+        out = az.auto_zoom_crop(rot)
+        assert out.shape == (96, 128, 3)
+        gray = out.astype(np.float32).mean(axis=2)
+        assert (gray < 10).mean() < 0.01    # black corners gone
+
+    def test_passthrough_when_no_black(self):
+        img = np.full((96, 128, 3), 128, np.uint8)
+        az = AutoZoomCrop(AutoZoomCropParams(out_width=64, out_height=48))
+        out = az.auto_zoom_crop(img)
+        assert out.shape == (48, 64, 3)
+        assert np.abs(out.astype(int) - 128).max() <= 1
+
+
+class TestEnhancer:
+    def test_brightness_contrast_matches_cv2(self):
+        img = np.random.default_rng(0).integers(
+            0, 200, (32, 40, 3), dtype=np.uint8)
+        en = Enhancer(EnhancerParams(brightness=15.0, contrast=1.3))
+        ours = en.enhance(img)
+        ref = cv2.convertScaleAbs(img, alpha=1.3, beta=15.0)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_gamma_matches_cv2_lut(self):
+        img = np.random.default_rng(1).integers(
+            0, 255, (32, 40, 3), dtype=np.uint8)
+        gamma = 0.7
+        en = Enhancer(EnhancerParams(gamma=gamma))
+        ours = en.enhance(img)
+        lut = np.clip(((np.arange(256) / 255.0) ** gamma) * 255.0 + 0.5,
+                      0, 255).astype(np.uint8)
+        ref = lut[img]
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_white_balance_equalizes_channels(self):
+        img = np.zeros((32, 40, 3), np.uint8)
+        img[..., 0] = 200
+        img[..., 1] = 100
+        img[..., 2] = 60
+        en = Enhancer(EnhancerParams(enable_white_balance=True))
+        out = en.enhance(img).astype(np.float32)
+        means = out.mean(axis=(0, 1))
+        assert means.std() < 2.0, means
+
+    def test_noop_params_identity(self):
+        img = np.random.default_rng(2).integers(
+            0, 255, (16, 20, 3), dtype=np.uint8)
+        en = Enhancer(EnhancerParams())
+        assert np.array_equal(en.enhance(img), img)

@@ -1,0 +1,263 @@
+"""Motion estimation + trajectory filter tests: known ground truth and exact
+equivalence with the reference's full-path algorithms (SURVEY.md §4b)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import video_stab_tpu.motion as motion
+from video_stab_tpu.motion.filters import (
+    box_filter_emit,
+    gaussian_filter_emit,
+    gaussian_kernel,
+    kalman_step,
+    ring_push,
+)
+
+
+def _make_points(n, seed=0):
+    r = np.random.default_rng(seed)
+    return (r.random((n, 2)) * 200.0).astype(np.float32)
+
+
+def _apply_sim(pts, dx, dy, da, scale=1.0):
+    a = scale * math.cos(da)
+    b = scale * math.sin(da)
+    x = a * pts[:, 0] - b * pts[:, 1] + dx
+    y = b * pts[:, 0] + a * pts[:, 1] + dy
+    return np.stack([x, y], axis=1).astype(np.float32)
+
+
+class TestRansac:
+    def test_recovers_exact_similarity(self):
+        prev = _make_points(64)
+        curr = _apply_sim(prev, 3.0, -2.0, 0.02)
+        mask = np.ones(64, bool)
+        m, ok, inl = motion.estimate_similarity_ransac(
+            prev, curr, mask, jax.random.PRNGKey(0), n_hypotheses=128)
+        m = np.asarray(m)
+        assert bool(ok)
+        assert np.allclose(m[0, 2], 3.0, atol=1e-3)
+        assert np.allclose(m[1, 2], -2.0, atol=1e-3)
+        assert np.allclose(np.arctan2(m[1, 0], m[0, 0]), 0.02, atol=1e-4)
+
+    def test_robust_to_outliers(self):
+        prev = _make_points(80, seed=1)
+        curr = _apply_sim(prev, -4.0, 1.5, -0.01)
+        r = np.random.default_rng(2)
+        bad = r.choice(80, 24, replace=False)
+        curr[bad] += r.normal(0, 40.0, (24, 2)).astype(np.float32)
+        mask = np.ones(80, bool)
+        m, ok, inl = motion.estimate_similarity_ransac(
+            prev, curr, mask, jax.random.PRNGKey(1), n_hypotheses=256)
+        m = np.asarray(m)
+        assert bool(ok)
+        assert np.allclose(m[0, 2], -4.0, atol=0.1)
+        assert np.allclose(m[1, 2], 1.5, atol=0.1)
+        assert np.asarray(inl).sum() >= 50
+
+    def test_identity_when_too_few_points(self):
+        prev = _make_points(16)
+        curr = prev + 5.0
+        mask = np.zeros(16, bool)
+        mask[:3] = True
+        m, ok, _ = motion.estimate_similarity_ransac(
+            prev, curr, mask, jax.random.PRNGKey(2), n_hypotheses=32)
+        assert not bool(ok)
+        assert np.allclose(np.asarray(m), np.float32([[1, 0, 0], [0, 1, 0]]))
+
+    def test_respects_mask(self):
+        prev = _make_points(40, seed=3)
+        curr = _apply_sim(prev, 2.0, 2.0, 0.0)
+        curr[20:] = 999.0  # invalid slots poisoned
+        mask = np.zeros(40, bool)
+        mask[:20] = True
+        m, ok, _ = motion.estimate_similarity_ransac(
+            prev, curr, mask, jax.random.PRNGKey(3), n_hypotheses=128)
+        assert bool(ok)
+        assert np.allclose(np.asarray(m)[0, 2], 2.0, atol=1e-2)
+
+
+class TestRigidClosedForm:
+    def test_exact_on_clean_rigid(self):
+        prev = _make_points(30, seed=4)
+        curr = _apply_sim(prev, 1.25, -0.75, 0.015)
+        t = np.asarray(motion.estimate_rigid_closed_form(
+            prev, curr, np.ones(30, bool)))
+        # centroid translation of a rotation about origin is not (dx,dy);
+        # verify via re-application instead: the solve minimizes residual
+        c_prev = prev.mean(0)
+        c_curr = curr.mean(0)
+        assert np.allclose(t[2], 0.015, atol=1e-4)
+        assert np.allclose(t[0], c_curr[0] - c_prev[0], atol=1e-4)
+        assert np.allclose(t[1], c_curr[1] - c_prev[1], atol=1e-4)
+
+    def test_zero_when_too_few(self):
+        prev = _make_points(8)
+        mask = np.zeros(8, bool)
+        mask[:2] = True
+        t = np.asarray(motion.estimate_rigid_closed_form(prev, prev + 3, mask))
+        assert np.allclose(t, 0.0)
+
+
+class TestOutlierRejection:
+    def test_median_rejection(self):
+        prev = _make_points(40, seed=5)
+        curr = prev + np.float32([2.0, 1.0])
+        curr[5] += 100.0
+        curr[11] -= 80.0
+        mask = np.ones(40, bool)
+        kept = np.asarray(motion.remove_outliers_median(prev, curr, mask))
+        assert not kept[5] and not kept[11]
+        assert kept.sum() == 38
+
+    def test_keeps_original_when_too_few_survive(self):
+        prev = _make_points(12, seed=6)
+        r = np.random.default_rng(7)
+        curr = prev + r.normal(0, 50.0, (12, 2)).astype(np.float32)
+        mask = np.ones(12, bool)
+        kept = np.asarray(motion.remove_outliers_median(
+            prev, curr, mask, min_keep=10))
+        # fewer than 10 inliers -> original mask returned
+        assert kept.sum() == 12 or kept.sum() >= 10
+
+
+def _reference_box(path, r):
+    """The reference's count-normalized clamped box (Stabilizer.cpp:1156-1168)."""
+    n = len(path)
+    out = []
+    for i in range(n):
+        lo, hi = max(0, i - r), min(n - 1, i + r)
+        out.append(sum(path[lo:hi + 1]) / (hi - lo + 1))
+    return out
+
+
+def _reference_gaussian(path, sigma):
+    """gaussianFilterConvolve (Stabilizer.cpp:1364-1413)."""
+    k = np.asarray(gaussian_kernel(sigma))
+    c = len(k) // 2
+    n = len(path)
+    padded = np.concatenate([
+        [path[c - i] for i in range(c)],
+        path,
+        [path[n - 1 - i] for i in range(c)]])
+    return [float(np.dot(padded[i:i + len(k)], k)) for i in range(n)]
+
+
+def _reference_kalman(path, q=0.01, r=0.1):
+    """kalmanFilterSmooth (Stabilizer.cpp:1416-1458)."""
+    x = np.array([path[0], 0.0])
+    p = np.zeros((2, 2))
+    f = np.array([[1.0, 1.0], [0.0, 1.0]])
+    qm = np.eye(2) * q
+    out = [path[0]]
+    for z in path[1:]:
+        x = f @ x
+        p = f @ p @ f.T + qm
+        s = p[0, 0] + r
+        k = p[:, 0] / s
+        x = x + k * (z - x[0])
+        p = p - np.outer(k, p[0, :])
+        out.append(x[0])
+    return out
+
+
+class TestFilterEmission:
+    """The O(window) ring emission must reproduce the reference's full-path
+    re-filtering at every emitted index, exactly."""
+
+    def _fill_ring(self, path):
+        ring = jnp.zeros((64, 3), jnp.float32)
+        for i, v in enumerate(path):
+            ring = ring_push(ring, jnp.int32(i), jnp.float32(v) * jnp.ones(3))
+        return ring
+
+    def test_box_emission_matches_full_refilter(self):
+        rng = np.random.default_rng(8)
+        path = list(np.cumsum(rng.normal(0, 1, 40)).astype(np.float32))
+        r = 4
+        for n in range(6, 41, 7):          # growing path lengths
+            ring = self._fill_ring(path[:n])
+            ref = _reference_box(path[:n], r)
+            for e in range(max(0, n - 10), n):
+                got = np.asarray(box_filter_emit(
+                    ring, jnp.int32(n), jnp.int32(e), jnp.int32(r), r_max=8))
+                assert np.allclose(got[0], ref[e], atol=1e-4), (n, e)
+
+    def test_box_identity_when_short(self):
+        path = [1.0, 2.0, 3.0]
+        ring = self._fill_ring(path)
+        got = np.asarray(box_filter_emit(ring, jnp.int32(3), jnp.int32(1),
+                                         jnp.int32(5), r_max=8))
+        assert np.allclose(got[0], 2.0)
+
+    def test_gaussian_emission_matches_full_refilter(self):
+        rng = np.random.default_rng(9)
+        path = list(np.cumsum(rng.normal(0, 1, 30)).astype(np.float32))
+        k = gaussian_kernel(2.0)
+        for n in (15, 22, 30):
+            ring = self._fill_ring(path[:n])
+            ref = _reference_gaussian(path[:n], 2.0)
+            for e in range(max(0, n - 8), n):
+                got = np.asarray(gaussian_filter_emit(
+                    ring, jnp.int32(n), jnp.int32(e), k))
+                assert np.allclose(got[0], ref[e], atol=1e-4), (n, e)
+
+    def test_kalman_cursor_matches_full_forward_pass(self):
+        rng = np.random.default_rng(10)
+        path = list(np.cumsum(rng.normal(0, 1, 25)).astype(np.float32))
+        ref = _reference_kalman(path)
+        z0 = jnp.float32(path[0]) * jnp.ones(3)
+        state = {"x": jnp.stack([z0, jnp.zeros(3)]),
+                 "p": jnp.zeros((2, 2, 3))}
+        got = [path[0]]
+        for z in path[1:]:
+            state, out = kalman_step(state, jnp.float32(z) * jnp.ones(3))
+            got.append(float(out[0]))
+        assert np.allclose(got, ref, atol=1e-4)
+
+
+class TestHFChain:
+    def test_dead_zone_freezes_small_motion(self):
+        st = motion.hf_init()
+        kw = dict(dead_zone_threshold=2.0, freeze_duration=5,
+                  accumulator_decay=0.9, shake_px=1.5, rot_lp_alpha=0.2,
+                  horizon_lock=False)
+        st, t = motion.hf_apply(st, jnp.float32([0.5, 0.5, 0.0]), **kw)
+        assert np.allclose(np.asarray(t), 0.0)       # frozen
+        assert bool(st.in_dead_zone)
+        # large motion exits the freeze
+        st, t = motion.hf_apply(st, jnp.float32([10.0, 0.0, 0.0]), **kw)
+        assert np.allclose(np.asarray(t), [10.0, 0.0, 0.0], atol=1e-5)
+        assert not bool(st.in_dead_zone)
+
+    def test_micro_shake_suppression(self):
+        st = motion.hf_init()
+        kw = dict(dead_zone_threshold=0.01, freeze_duration=5,
+                  accumulator_decay=0.9, shake_px=1.5, rot_lp_alpha=0.2,
+                  horizon_lock=False)
+        # establish a median of ~(5, 0) so motion clears the dead zone
+        for _ in range(6):
+            st, _ = motion.hf_apply(st, jnp.float32([5.0, 0.0, 0.0]), **kw)
+        st, t = motion.hf_apply(st, jnp.float32([5.8, 0.0, 0.0]), **kw)
+        t = np.asarray(t)
+        # deviation 0.8 < 1.5 px -> residual x0.01 around the median
+        assert abs(t[0] - 5.008) < 1e-3, t
+
+
+class TestIntent:
+    def test_pan_detection(self):
+        ring = jnp.zeros((64, 3), jnp.float32)
+        for i in range(20):
+            ring = ring_push(ring, jnp.int32(i), jnp.float32([8.0, 0.0, 0.0]))
+        intent = motion.analyze_motion_intent(
+            ring, jnp.int32(20), jnp.float32([8.0, 0.0, 0.0]), jnp.int32(19))
+        assert int(intent) == int(motion.MotionIntent.DELIBERATE_PAN)
+
+    def test_normal_before_warmup(self):
+        ring = jnp.zeros((64, 3), jnp.float32)
+        intent = motion.analyze_motion_intent(
+            ring, jnp.int32(3), jnp.float32([8.0, 0.0, 0.0]), jnp.int32(2))
+        assert int(intent) == int(motion.MotionIntent.NORMAL)

@@ -1,0 +1,221 @@
+"""Op-level golden tests vs OpenCV (the reference's substrate).
+
+Pin down sampling conventions, channel order, and border-mode edge cases
+early (SURVEY.md §7 'hard parts'). Tolerances reflect float vs OpenCV's
+fixed-point internals.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from tests.conftest import make_bgr, make_textured
+
+import video_stab_tpu.ops as ops
+
+
+class TestColor:
+    def test_bgr_to_gray_matches_cv2(self):
+        img = make_bgr(32, 40, seed=3)
+        ours = np.asarray(ops.bgr_to_gray(img))
+        ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        assert np.allclose(ours, ref, atol=0.01)
+
+    def test_hsv_roundtrip(self):
+        img = make_bgr(16, 20, seed=4)
+        back = np.asarray(ops.hsv_to_bgr(ops.bgr_to_hsv(img)))
+        assert np.allclose(back, img, atol=0.5)
+
+    def test_bgr_to_hsv_matches_cv2(self):
+        img = make_bgr(16, 20, seed=5)
+        ours = np.asarray(ops.bgr_to_hsv(img))
+        ref = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_BGR2HSV).astype(np.float32)
+        # S and V channels match closely; H wraps at 180 (uint8 truncation in cv2)
+        assert np.allclose(ours[..., 2], ref[..., 2], atol=1.0)
+        assert np.allclose(ours[..., 1], ref[..., 1], atol=2.5)
+        dh = np.abs(ours[..., 0] - ref[..., 0])
+        dh = np.minimum(dh, 180.0 - dh)
+        assert np.percentile(dh, 95) < 2.0
+
+    def test_lab_roundtrip(self):
+        img = make_bgr(16, 20, seed=6)
+        back = np.asarray(ops.lab_to_bgr(ops.bgr_to_lab(img)))
+        assert np.allclose(back, img, atol=1.5)
+
+    def test_saturate_u8(self):
+        x = np.float32([-5.0, 0.4, 0.5, 254.6, 300.0])
+        out = np.asarray(ops.saturate_u8(x))
+        assert out.dtype == np.uint8
+        assert out.tolist() == [0, 0, 0, 255, 255] or out.tolist() == [0, 0, 1, 255, 255]
+
+
+class TestResize:
+    @pytest.mark.parametrize("shape_out", [(24, 30), (48, 64), (17, 23)])
+    def test_matches_cv2_inter_linear(self, shape_out):
+        img = make_textured(32, 40, seed=8)
+        oh, ow = shape_out
+        ours = np.asarray(ops.resize_bilinear(img, oh, ow))
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        assert np.allclose(ours, ref, atol=0.5), np.abs(ours - ref).max()
+
+    def test_channels(self):
+        img = make_bgr(32, 40, seed=9)
+        ours = np.asarray(ops.resize_bilinear(img, 16, 20))
+        ref = cv2.resize(img, (20, 16), interpolation=cv2.INTER_LINEAR)
+        assert np.allclose(ours, ref, atol=0.5)
+
+    def test_pyr_down_matches_cv2(self):
+        img = make_textured(32, 40, seed=10)
+        ours = np.asarray(ops.pyr_down(img))
+        ref = cv2.pyrDown(img)
+        assert ours.shape == ref.shape
+        # interior matches; cv2 uses reflect-101 borders too
+        assert np.allclose(ours, ref, atol=0.5)
+
+
+class TestWarp:
+    @pytest.mark.parametrize("mode_name,cv_mode", [
+        ("black", cv2.BORDER_CONSTANT),
+        ("replicate", cv2.BORDER_REPLICATE),
+        ("reflect", cv2.BORDER_REFLECT),
+        ("reflect_101", cv2.BORDER_REFLECT_101),
+        ("wrap", cv2.BORDER_WRAP),
+    ])
+    def test_warp_affine_matches_cv2(self, mode_name, cv_mode):
+        img = make_textured(32, 40, seed=11)
+        a = np.deg2rad(7.0)
+        m = np.float32([[np.cos(a), -np.sin(a), 3.5],
+                        [np.sin(a), np.cos(a), -2.25]])
+        code = ops.border_mode_from_name(mode_name)
+        ours = np.asarray(ops.warp_affine(img, m, border_mode=code))
+        ref = cv2.warpAffine(img, m, (40, 32), flags=cv2.INTER_LINEAR,
+                             borderMode=cv_mode)
+        # Ignore one-pixel rim: cv2 blends the constant at the exact border.
+        diff = np.abs(ours - ref)[2:-2, 2:-2]
+        assert np.percentile(diff, 99) < 1.0, diff.max()
+
+    def test_invert_affine(self):
+        m = np.float32([[0.98, -0.05, 3.0], [0.05, 0.98, -2.0]])
+        minv = np.asarray(ops.invert_affine(m))
+        ref = cv2.invertAffineTransform(m)
+        assert np.allclose(minv, ref, atol=1e-5)
+
+    def test_rotation_matrix_2d(self):
+        ours = np.asarray(ops.rotation_matrix_2d(20.0, 15.0, 12.5))
+        ref = cv2.getRotationMatrix2D((20.0, 15.0), 12.5, 1.0)
+        assert np.allclose(ours, ref, atol=1e-5)
+
+
+class TestFilters:
+    def test_gaussian_blur_matches_cv2(self):
+        img = make_textured(32, 40, seed=12)
+        ours = np.asarray(ops.gaussian_blur(img, 1.5))
+        ref = cv2.GaussianBlur(img, (0, 0), 1.5, borderType=cv2.BORDER_REFLECT_101)
+        assert np.allclose(ours, ref, atol=0.1)
+
+    def test_box_blur_matches_cv2(self):
+        img = make_textured(32, 40, seed=13)
+        ours = np.asarray(ops.box_blur(img, 5))
+        ref = cv2.blur(img, (5, 5), borderType=cv2.BORDER_REFLECT_101)
+        assert np.allclose(ours, ref, atol=0.1)
+
+    def test_sobel_matches_cv2(self):
+        img = make_textured(32, 40, seed=14)
+        gx, gy = ops.sobel(img)
+        ref_x = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3,
+                          borderType=cv2.BORDER_REFLECT_101)
+        ref_y = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3,
+                          borderType=cv2.BORDER_REFLECT_101)
+        assert np.allclose(np.asarray(gx), ref_x, atol=0.01)
+        assert np.allclose(np.asarray(gy), ref_y, atol=0.01)
+
+    def test_threshold_binary(self):
+        img = make_textured(16, 20, seed=15)
+        ours = np.asarray(ops.threshold_binary(img, 100.0, 255.0))
+        _, ref = cv2.threshold(img, 100.0, 255.0, cv2.THRESH_BINARY)
+        assert np.array_equal(ours, ref)
+
+    def test_morphology_matches_cv2(self):
+        img = (make_textured(24, 28, seed=16) > 128).astype(np.float32) * 255.0
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+        ours_d = np.asarray(ops.dilate(img, 5))
+        ref_d = cv2.dilate(img, k)
+        assert np.array_equal(ours_d, ref_d)
+        ours_e = np.asarray(ops.erode(img, 5))
+        ref_e = cv2.erode(img, k)
+        # erode border handling differs at the rim (cv2 pads with +inf)
+        assert np.array_equal(ours_e[2:-2, 2:-2], ref_e[2:-2, 2:-2])
+
+    def test_clahe_close_to_cv2(self):
+        img = make_textured(64, 64, seed=17)
+        ours = np.asarray(ops.clahe(img, 2.0, 8))
+        ref = cv2.createCLAHE(2.0, (8, 8)).apply(img.astype(np.uint8)).astype(np.float32)
+        # same tile/LUT construction; uint8 rounding differences allowed
+        assert np.percentile(np.abs(ours - ref), 95) < 6.0
+
+
+class TestFeatures:
+    def test_gftt_finds_cv2_corners(self):
+        img = np.zeros((60, 80), np.float32)
+        for (y, x) in [(12, 14), (12, 60), (44, 20), (44, 66), (30, 40)]:
+            img[y:y + 8, x:x + 8] = 255.0
+        img = cv2.GaussianBlur(img, (0, 0), 1.0)
+        pts, mask = ops.good_features_to_track(
+            img, max_corners=32, quality_level=0.01, min_distance=8.0)
+        pts = np.asarray(pts)[np.asarray(mask)]
+        ref = cv2.goodFeaturesToTrack(img.astype(np.uint8), 32, 0.01, 8.0,
+                                      blockSize=3)
+        ref = ref.reshape(-1, 2)
+        # every cv2 corner should have one of ours within 2 px
+        for rp in ref:
+            d = np.sqrt(((pts - rp) ** 2).sum(axis=1)).min()
+            assert d < 2.0, (rp, d)
+
+
+class TestLK:
+    def test_tracks_pure_translation(self):
+        world = make_textured(100, 140, seed=18, sigma=1.5)
+        prev = world[10:74, 10:106]
+        curr = world[13:77, 12:108]   # shift by (+2, +3) in (x, y)
+        pts = np.float32([[20, 20], [48, 30], [70, 40], [30, 50]])
+        mask = np.ones(4, bool)
+        out, status, err = ops.lk_track(prev, curr, pts, mask,
+                                        win=15, max_level=2, iters=20)
+        out = np.asarray(out)
+        assert np.asarray(status).all()
+        flow = out - pts
+        assert np.allclose(flow[:, 0], -2.0, atol=0.3), flow
+        assert np.allclose(flow[:, 1], -3.0, atol=0.3), flow
+
+    def test_matches_cv2_lk(self):
+        world = make_textured(120, 160, seed=19, sigma=1.5)
+        prev = world[10:90, 10:130]
+        curr = world[12:92, 13:133]
+        pts = np.float32([[30, 25], [60, 40], [90, 55], [45, 65]])
+        ours, status, _ = ops.lk_track(prev, curr, pts, np.ones(4, bool),
+                                       win=15, max_level=2, iters=20)
+        ref, st, _ = cv2.calcOpticalFlowPyrLK(
+            prev.astype(np.uint8), curr.astype(np.uint8), pts, None,
+            winSize=(15, 15), maxLevel=2,
+            criteria=(cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 20, 0.03))
+        ours = np.asarray(ours)
+        ok = st.reshape(-1).astype(bool) & np.asarray(status)
+        assert ok.sum() >= 3
+        assert np.allclose(ours[ok], ref[ok], atol=0.5), (ours, ref)
+
+
+class TestCannyHough:
+    def test_detects_line_angle(self):
+        img = np.zeros((64, 96), np.float32)
+        cv2.line(img, (5, 40), (90, 28), 255.0, 2)
+        img = cv2.GaussianBlur(img, (0, 0), 0.8)
+        edges = ops.canny_edges(img, 50.0, 150.0)
+        assert np.asarray(edges).sum() > 0
+        lines, votes, mask = ops.hough_lines(np.asarray(edges),
+                                             threshold=30, max_lines=8)
+        lines = np.asarray(lines)
+        assert np.asarray(mask).any()
+        theta = lines[0, 1]
+        angle_deg = np.degrees(theta) - 90.0
+        expected = np.degrees(np.arctan2(28 - 40, 90 - 5))
+        assert abs(angle_deg - expected) < 3.0, (angle_deg, expected)

@@ -60,8 +60,7 @@ def _suppress_shake(params: LegacyStabilizerParams, t: jnp.ndarray) -> jnp.ndarr
     return jnp.where(is_shake, t * params.shake_damping_factor, t)
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def legacy_init_step(params: LegacyStabilizerParams, state: LegacyState,
+def legacy_init_step_fn(params: LegacyStabilizerParams, state: LegacyState,
                      frame_u8: jnp.ndarray) -> LegacyState:
     """initializeFirstFrame (Stabilizer_legacy.cpp:144-161).
 
@@ -73,8 +72,7 @@ def legacy_init_step(params: LegacyStabilizerParams, state: LegacyState,
     return state._replace(prev_gray=gray, prev_pts=pts, prev_mask=mask)
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def legacy_analyze_step(params: LegacyStabilizerParams, state: LegacyState,
+def legacy_analyze_step_fn(params: LegacyStabilizerParams, state: LegacyState,
                         frame_u8: jnp.ndarray) -> tuple[LegacyState, dict]:
     """generateTransform (Stabilizer_legacy.cpp:195-281)."""
     gray = bgr_to_gray(frame_u8.astype(jnp.float32))
@@ -137,8 +135,7 @@ def legacy_analyze_step(params: LegacyStabilizerParams, state: LegacyState,
     return new_state, metrics
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def legacy_emit_step(params: LegacyStabilizerParams, state: LegacyState,
+def legacy_emit_step_fn(params: LegacyStabilizerParams, state: LegacyState,
                      ) -> tuple[LegacyState, jnp.ndarray]:
     """applyNextSmoothTransform + applyTransform
     (Stabilizer_legacy.cpp:380-502)."""
@@ -178,6 +175,15 @@ def legacy_emit_step(params: LegacyStabilizerParams, state: LegacyState,
 
     out_u8 = saturate_u8(out)
     return state._replace(emit_idx=e + 1), out_u8
+
+
+
+
+# Jitted aliases (static params, donated state) — the streaming wrappers
+# use these; `*_fn` are the raw pure functions for vmap/shard_map composition.
+legacy_init_step = jax.jit(legacy_init_step_fn, static_argnums=0, donate_argnums=1)
+legacy_analyze_step = jax.jit(legacy_analyze_step_fn, static_argnums=0, donate_argnums=1)
+legacy_emit_step = jax.jit(legacy_emit_step_fn, static_argnums=0, donate_argnums=1)
 
 
 class LegacyStabilizer:

@@ -85,8 +85,7 @@ def _analysis_gray(params: StabilizerParams, frame_f32: jnp.ndarray) -> jnp.ndar
     return resize_bilinear(gray, params.analysis_height, params.analysis_width)
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def stabilizer_init_step(params: StabilizerParams, state: StabilizerState,
+def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,
                          frame_u8: jnp.ndarray) -> StabilizerState:
     """First-frame initialization (Stabilizer.cpp:271-368): analysis gray +
     initial GFTT detection + queue the frame."""
@@ -108,8 +107,7 @@ def stabilizer_init_step(params: StabilizerParams, state: StabilizerState,
     )
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def stabilizer_analyze_step(params: StabilizerParams, state: StabilizerState,
+def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
                             frame_u8: jnp.ndarray,
                             ) -> tuple[StabilizerState, dict]:
     """Per-frame motion analysis (generateTransform, Stabilizer.cpp:402-761)."""
@@ -247,8 +245,7 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
     return state, sm
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def stabilizer_emit_step(params: StabilizerParams, state: StabilizerState,
+def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                          ) -> tuple[StabilizerState, jnp.ndarray]:
     """Emit the oldest queued frame, stabilized
     (applyNextSmoothTransform, Stabilizer.cpp:763-1137)."""
@@ -338,6 +335,27 @@ def stabilizer_emit_step(params: StabilizerParams, state: StabilizerState,
         fade_count=fade_count,
     )
     return new_state, out_u8
+
+
+
+
+def stabilizer_step_fn(params: StabilizerParams, state: StabilizerState,
+                       frame_u8: jnp.ndarray,
+                       ) -> tuple[StabilizerState, jnp.ndarray]:
+    """Steady-state combined step: analyze the incoming frame AND emit the
+    oldest queued frame in one dispatch (one XLA program per frame — the
+    production serving path once the look-ahead queue is warm). During
+    warm-up the emitted frame is meaningless and the caller discards it."""
+    state, _metrics = stabilizer_analyze_step_fn(params, state, frame_u8)
+    return stabilizer_emit_step_fn(params, state)
+
+
+# Jitted aliases (static params, donated state) — the streaming wrappers
+# use these; `*_fn` are the raw pure functions for vmap/shard_map composition.
+stabilizer_step = jax.jit(stabilizer_step_fn, static_argnums=0, donate_argnums=1)
+stabilizer_init_step = jax.jit(stabilizer_init_step_fn, static_argnums=0, donate_argnums=1)
+stabilizer_analyze_step = jax.jit(stabilizer_analyze_step_fn, static_argnums=0, donate_argnums=1)
+stabilizer_emit_step = jax.jit(stabilizer_emit_step_fn, static_argnums=0, donate_argnums=1)
 
 
 # ---------------------------------------------------------------------------

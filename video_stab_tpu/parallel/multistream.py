@@ -1,0 +1,147 @@
+"""Multi-stream batched serving over a TPU device mesh.
+
+The reference serves one stream per process (hidden static state forbids
+more — SURVEY.md §5 'race detection'). Here the stabilizer step is a pure
+function over an explicit state pytree, so N independent streams batch as a
+leading axis and shard across TPU cores:
+
+    mesh     = Mesh(devices, ("stream",))
+    states   = batched state pytree, sharded P("stream")
+    frames   -> (N, H, W, 3) uint8, sharded P("stream")
+    step     = jit(vmap(analyze_fn))  — XLA partitions the batch over ICI
+               with no collectives (streams are independent; this is the
+               'embarrassingly parallel' end of the sharding spectrum, which
+               is exactly what multi-camera serving wants: zero cross-chip
+               traffic in steady state).
+
+Reference counterpart: one Stabilizer instance per camera + gstd
+process-level dataflow (SURVEY.md §2 'Parallelism & communication
+inventory'); BASELINE.json config 5 ("8x concurrent 1080p streams batched
+across a TPU slice").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_stab_tpu.core.params import StabilizerParams
+from video_stab_tpu.core.state import StabilizerState, stabilizer_state_init
+from video_stab_tpu.core.stabilizer import (
+    stabilizer_analyze_step_fn,
+    stabilizer_emit_step_fn,
+    stabilizer_init_step_fn,
+)
+
+
+def make_stream_mesh(devices: Optional[Sequence] = None,
+                     axis_name: str = "stream") -> Mesh:
+    """1-D mesh over all (or the given) devices for stream-axis sharding."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batched_state_init(params: StabilizerParams, n_streams: int,
+                       height: int, width: int,
+                       mesh: Optional[Mesh] = None) -> StabilizerState:
+    """Stacked state for n_streams, with per-stream PRNG seeds, placed with
+    stream-axis sharding when a mesh is given."""
+    states = [
+        stabilizer_state_init(
+            dataclasses.replace(params, seed=params.seed + i), height, width)
+        for i in range(n_streams)
+    ]
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        batched = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, sharding if x.ndim >= 1 and x.shape[0] == n_streams
+                else NamedSharding(mesh, P())),
+            batched)
+    return batched
+
+
+class MultiStreamStabilizer:
+    """Batch-of-streams stabilizer: push (N, H, W, 3) uint8, get (N, ...)
+    stabilized frames after the shared look-ahead warm-up.
+
+    All N streams advance in lockstep (the multi-camera serving model: one
+    synchronized grab per camera per tick). Per-stream reconnect/
+    drop-outs are handled upstream by the host IO supervisor
+    (video_stab_tpu.io) which re-feeds the last frame for a stalled stream.
+    """
+
+    def __init__(self, params: StabilizerParams, n_streams: int,
+                 mesh: Optional[Mesh] = None):
+        self.params = params
+        self.n_streams = n_streams
+        self.mesh = mesh
+        self._state: Optional[StabilizerState] = None
+        self._shape: Optional[tuple] = None
+        self._frames_in = 0
+        p = params
+
+        self._init_b = jax.jit(
+            jax.vmap(functools.partial(stabilizer_init_step_fn, p)),
+            donate_argnums=0)
+        self._analyze_b = jax.jit(
+            jax.vmap(functools.partial(stabilizer_analyze_step_fn, p)),
+            donate_argnums=0)
+        self._emit_b = jax.jit(
+            jax.vmap(functools.partial(stabilizer_emit_step_fn, p)),
+            donate_argnums=0)
+
+    def _ensure_state(self, frames: np.ndarray) -> None:
+        n, h, w = frames.shape[:3]
+        if n != self.n_streams:
+            raise ValueError(f"expected {self.n_streams} streams, got {n}")
+        if self._state is None:
+            self._state = batched_state_init(self.params, n, h, w, self.mesh)
+            self._shape = (h, w)
+        elif self._shape != (h, w):
+            raise ValueError("frame size changed; call clean()")
+
+    def _put(self, frames: np.ndarray):
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            return jax.device_put(frames, sharding)
+        return jnp.asarray(frames)
+
+    def stabilize_batch(self, frames) -> Optional[np.ndarray]:
+        """frames: (N, H, W, 3) uint8. Returns (N, H', W', 3) uint8 or None
+        during warm-up."""
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        self._ensure_state(frames)
+        fdev = self._put(frames)
+        if self._frames_in == 0:
+            self._state = self._init_b(self._state, fdev)
+            self._frames_in = 1
+            return None
+        self._state, self.last_metrics = self._analyze_b(self._state, fdev)
+        self._frames_in += 1
+        queued = self._frames_in - int(self._state.emit_idx[0])
+        if queued < self.params.effective_radius:
+            return None
+        self._state, out = self._emit_b(self._state)
+        return np.asarray(out)
+
+    def flush_batch(self) -> Optional[np.ndarray]:
+        if self._state is None:
+            return None
+        queued = self._frames_in - int(self._state.emit_idx[0])
+        if queued <= 0:
+            return None
+        self._state, out = self._emit_b(self._state)
+        return np.asarray(out)
+
+    def clean(self) -> None:
+        self._state = None
+        self._shape = None
+        self._frames_in = 0
