@@ -11,6 +11,13 @@ if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# sitecustomize (/root/.axon_site) registers the axon TPU backend at
+# interpreter start — before this conftest runs — so the env vars above are
+# not enough; force the platform through jax.config too.
+jax.config.update("jax_platforms", "cpu")
+
 import cv2  # noqa: E402
 
 cv2.setNumThreads(0)

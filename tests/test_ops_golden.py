@@ -150,8 +150,8 @@ class TestFilters:
         img = make_textured(64, 64, seed=17)
         ours = np.asarray(ops.clahe(img, 2.0, 8))
         ref = cv2.createCLAHE(2.0, (8, 8)).apply(img.astype(np.uint8)).astype(np.float32)
-        # same tile/LUT construction; uint8 rounding differences allowed
-        assert np.percentile(np.abs(ours - ref), 95) < 6.0
+        # same integer clip/redistribute/LUT path; 0.5 = uint8 rounding
+        assert np.abs(ours - ref).max() <= 0.5 + 1e-5
 
 
 class TestFeatures:
@@ -160,10 +160,13 @@ class TestFeatures:
         for (y, x) in [(12, 14), (12, 60), (44, 20), (44, 66), (30, 40)]:
             img[y:y + 8, x:x + 8] = 255.0
         img = cv2.GaussianBlur(img, (0, 0), 1.0)
+        # min_distance 4 keeps every square corner: with a larger radius the
+        # 4 corners of one square fall inside one exclusion zone and cv2's
+        # tie-break picks a different (equal-quality) survivor than ours.
         pts, mask = ops.good_features_to_track(
-            img, max_corners=32, quality_level=0.01, min_distance=8.0)
+            img, max_corners=32, quality_level=0.01, min_distance=4.0)
         pts = np.asarray(pts)[np.asarray(mask)]
-        ref = cv2.goodFeaturesToTrack(img.astype(np.uint8), 32, 0.01, 8.0,
+        ref = cv2.goodFeaturesToTrack(img.astype(np.uint8), 32, 0.01, 4.0,
                                       blockSize=3)
         ref = ref.reshape(-1, 2)
         # every cv2 corner should have one of ours within 2 px

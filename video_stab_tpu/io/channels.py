@@ -1,0 +1,173 @@
+"""Named-channel stream graph with hot-switchable routing.
+
+The interpipe/gstd analog (SURVEY.md §2 #8/#9): the reference wires
+independent GStreamer pipelines through named interpipe pub/sub elements and
+switches the output pipeline's ``listen-to`` property at runtime for
+seamless passthrough <-> processing mode changes (GstdManager.cpp:155-229,
+324-327; vsg.cpp:418-525).
+
+Here: ``Channel`` is a latest-only pub/sub slot keyed by name inside a
+``StreamGraph``; ``Pipeline``s are worker threads that pull from an input
+channel (or a FrameSource), run a processor, and publish to an output
+channel; ``set_listen_to`` re-points a pipeline's input atomically."""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from video_stab_tpu.io.sinks import FrameSink
+from video_stab_tpu.io.sources import FrameSource
+from video_stab_tpu.utils.telemetry import get_logger
+
+
+class Channel:
+    """Latest-only frame slot (the interpipesink/src pair)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._cond = threading.Condition()
+        self._frame: Optional[np.ndarray] = None
+        self._seq = 0
+
+    def publish(self, frame: np.ndarray) -> None:
+        with self._cond:
+            self._frame = frame
+            self._seq += 1
+            self._cond.notify_all()
+
+    def subscribe(self, last_seq: int, timeout: float = 0.5):
+        """Block until a frame newer than last_seq arrives.
+        Returns (frame, seq) or (None, last_seq)."""
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while self._seq <= last_seq:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return None, last_seq
+                self._cond.wait(remaining)
+            return self._frame, self._seq
+
+
+class Pipeline:
+    """One worker: input (channel name or FrameSource) -> processor ->
+    output channel / sink."""
+
+    def __init__(self, graph: "StreamGraph", name: str,
+                 listen_to: Optional[str] = None,
+                 source: Optional[FrameSource] = None,
+                 processor: Optional[Callable[[np.ndarray],
+                                              Optional[np.ndarray]]] = None,
+                 publish_to: Optional[str] = None,
+                 sink: Optional[FrameSink] = None):
+        self.graph = graph
+        self.name = name
+        self._listen_to = listen_to
+        self.source = source
+        self.processor = processor
+        self.publish_to = publish_to
+        self.sink = sink
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.frames_processed = 0
+
+    @property
+    def listen_to(self) -> Optional[str]:
+        with self._lock:
+            return self._listen_to
+
+    @listen_to.setter
+    def listen_to(self, channel_name: str) -> None:
+        with self._lock:
+            self._listen_to = channel_name
+
+    def _next_frame(self, last_seq: int):
+        if self.source is not None:
+            return self.source.read(), last_seq
+        name = self.listen_to
+        if name is None:
+            time.sleep(0.01)
+            return None, last_seq
+        return self.graph.channel(name).subscribe(last_seq)
+
+    def _run(self):
+        last_seq = 0
+        while not self._stop.is_set():
+            frame, last_seq = self._next_frame(last_seq)
+            if frame is None:
+                continue
+            out = self.processor(frame) if self.processor else frame
+            if out is None:
+                continue
+            if self.publish_to:
+                self.graph.channel(self.publish_to).publish(out)
+            if self.sink is not None:
+                self.sink.write(out)
+            self.frames_processed += 1
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name=f"pipeline-{self.name}")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2.0)
+
+
+class StreamGraph:
+    """The in-process GstdManager: named channels + named pipelines +
+    hot-switchable routing (GstdManager.cpp:155-229; switching 324-327)."""
+
+    def __init__(self, logging: bool = False):
+        self.log = get_logger("StreamGraph", logging)
+        self._channels: Dict[str, Channel] = {}
+        self._pipelines: Dict[str, Pipeline] = {}
+
+    def channel(self, name: str) -> Channel:
+        if name not in self._channels:
+            self._channels[name] = Channel(name)
+        return self._channels[name]
+
+    def add_pipeline(self, name: str, **kw) -> Pipeline:
+        p = Pipeline(self, name, **kw)
+        self._pipelines[name] = p
+        return p
+
+    def pipeline(self, name: str) -> Pipeline:
+        return self._pipelines[name]
+
+    def set_listen_to(self, pipeline_name: str, channel_name: str) -> None:
+        """The seamless mode switch (GstdManager::switchMode, 324-327)."""
+        self.log.info("switching %s -> listen-to %s", pipeline_name,
+                      channel_name)
+        self._pipelines[pipeline_name].listen_to = channel_name
+
+    def pipeline_list(self) -> list:
+        """gst-client pipeline_list equivalent."""
+        return [
+            {"name": p.name, "listen_to": p.listen_to,
+             "publish_to": p.publish_to,
+             "frames_processed": p.frames_processed}
+            for p in self._pipelines.values()
+        ]
+
+    def start(self):
+        for p in self._pipelines.values():
+            p.start()
+        return self
+
+    def stop(self):
+        for p in self._pipelines.values():
+            p.stop()
+        for p in self._pipelines.values():
+            if p.source is not None:
+                p.source.stop()
+            if p.sink is not None:
+                p.sink.close()

@@ -1,0 +1,197 @@
+"""The orchestrator — counterpart of the reference's application layer
+(examples/vsg.cpp, the most-evolved variant; SURVEY.md §3.3).
+
+Wires the stream graph the way vsg.cpp wires its 5 in-process pipelines
+(vsg.cpp:405-601):
+
+  source:      FrameSource -> "source" channel
+  processing:  "source" -> enhance -> roll-correct -> stabilize -> track
+               -> "processed" channel                      (vsg.cpp:1246-1313)
+  output:      listen-to {"source" | "processed"} -> sink  (vsg.cpp:518-525)
+
+plus: YAML config + mtime hot reload with Stabilizer re-creation and
+seamless passthrough<->processing switching (vsg.cpp:1346-1415), TCP
+click-to-track coordinates (vsg.cpp:1292-1306), optional REST config API,
+structured metrics.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from video_stab_tpu.core.autozoomcrop import AutoZoomCrop
+from video_stab_tpu.core.enhancer import Enhancer
+from video_stab_tpu.core.rollcorrection import RollCorrection
+from video_stab_tpu.core.stabilizer import Stabilizer
+from video_stab_tpu.io.channels import StreamGraph
+from video_stab_tpu.io.control import ConfigRestServer, TcpReceiver
+from video_stab_tpu.io.sinks import FrameSink, open_sink
+from video_stab_tpu.io.sources import SourceParams, open_source
+from video_stab_tpu.utils.config import AppConfig, ConfigWatcher, load_config
+from video_stab_tpu.utils.telemetry import Metrics, get_logger
+
+
+class StabilizerApp:
+    """`vstab run config.yaml` — the vsg.cpp main loop as a library object."""
+
+    def __init__(self, config: AppConfig, config_path: Optional[str] = None,
+                 sink: Optional[FrameSink] = None,
+                 enable_tcp: bool = False, tcp_port: int = 5000,
+                 enable_rest: bool = False, rest_port: int = 5001,
+                 max_frames: int = 0):
+        self.cfg = config
+        self.config_path = config_path
+        self.metrics = Metrics()
+        self.log = get_logger("App", True)
+        self.max_frames = max_frames
+        self._lock = threading.Lock()     # config snapshot mutex (vsg:1253)
+        self._stop = threading.Event()
+
+        self._build_processors()
+
+        self.graph = StreamGraph()
+        self.source = open_source(
+            self.cfg.video_source,
+            SourceParams(source=self.cfg.video_source,
+                         **{k: getattr(self.cfg.camera, k)
+                            for k in ("threaded_queue_mode", "colorspace",
+                                      "logging", "queue_size")}))
+        self.sink = sink if sink is not None else open_sink(
+            self.cfg.output_source)
+        self.graph.add_pipeline("source", source=self.source,
+                                publish_to="source")
+        self.graph.add_pipeline("processing", listen_to="source",
+                                processor=self._process_frame,
+                                publish_to="processed")
+        self.graph.add_pipeline("output",
+                                listen_to=self._initial_route(),
+                                sink=self.sink)
+
+        self.tcp: Optional[TcpReceiver] = \
+            TcpReceiver(tcp_port).start() if enable_tcp else None
+        self.rest: Optional[ConfigRestServer] = None
+        if enable_rest and config_path:
+            self.rest = ConfigRestServer(config_path, rest_port).start()
+        self.watcher: Optional[ConfigWatcher] = None
+        if config_path:
+            self.watcher = ConfigWatcher(config_path, self._on_config_change)
+
+        self._frames_out = 0
+        self._tracker = None
+        if self.cfg.mode.tracker_enabled:
+            from video_stab_tpu.models.tracker import ObjectTracker
+            self._tracker = ObjectTracker(self.cfg.tracker)
+
+    # -- config / processors ----------------------------------------------
+    def _build_processors(self):
+        m = self.cfg.mode
+        self.enhancer = Enhancer(self.cfg.enhancer) if m.enhancer_enabled \
+            else None
+        self.roll = RollCorrection(self.cfg.roll_correction) \
+            if m.roll_correction_enabled else None
+        self.azc = AutoZoomCrop(self.cfg.auto_zoom_crop) \
+            if m.roll_correction_enabled else None
+        self.stabilizer = Stabilizer(self.cfg.stabilizer) \
+            if m.stabilizer_enabled else None
+
+    def _initial_route(self) -> str:
+        """Passthrough iff every processing toggle is off
+        (vsg.cpp:1228-1233, 1321-1327)."""
+        m = self.cfg.mode
+        processing = (m.enhancer_enabled or m.roll_correction_enabled or
+                      m.stabilizer_enabled or m.tracker_enabled)
+        return "processed" if processing else "source"
+
+    def _on_config_change(self, new_cfg: AppConfig):
+        """Hot reload: swap params + recreate the Stabilizer + switch mode
+        (vsg.cpp:1346-1415)."""
+        self.log.info("config changed; reloading")
+        with self._lock:
+            self.cfg = new_cfg
+            self._build_processors()
+            if new_cfg.mode.tracker_enabled and self._tracker is None:
+                from video_stab_tpu.models.tracker import ObjectTracker
+                self._tracker = ObjectTracker(new_cfg.tracker)
+        self.graph.set_listen_to("output", self._initial_route())
+        self.metrics.inc("config_reloads")
+
+    # -- per-frame chain (vsg.cpp:1246-1313) -------------------------------
+    def _process_frame(self, frame: np.ndarray) -> Optional[np.ndarray]:
+        with self._lock:                      # snapshot under mutex
+            enhancer, roll, azc = self.enhancer, self.roll, self.azc
+            stab, tracker = self.stabilizer, self._tracker
+        t = self.metrics.timer
+        if enhancer is not None:
+            with t.stage("enhance"):
+                frame = enhancer.enhance(frame)
+        if roll is not None:
+            with t.stage("roll"):
+                frame = roll.auto_correct_roll(frame)
+        if stab is not None:
+            with t.stage("stabilize"):
+                out = stab.stabilize(frame)
+            if out is None:
+                self.metrics.inc("warmup_frames")
+                return None
+            frame = out
+            met = stab.last_metrics
+            if met:
+                self.metrics.set("n_tracked", float(np.asarray(
+                    met.get("n_tracked", 0))))
+                self.metrics.set("n_inliers", float(np.asarray(
+                    met.get("n_inliers", 0))))
+        if tracker is not None:
+            with t.stage("track"):
+                dets = tracker.process_frame(frame)
+                sel = self.tcp.try_get_latest() if self.tcp else None
+                if sel:
+                    frame = tracker.draw_detections(frame, dets, *sel)
+                else:
+                    frame = tracker.draw_detections(frame, dets)
+        self.metrics.fps.tick()
+        self.metrics.inc("frames_out")
+        self._frames_out += 1
+        return frame
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self):
+        self.source.start()
+        self.graph.start()
+        if self.watcher:
+            self.watcher.start()
+        return self
+
+    def run(self, duration: float = 0.0):
+        """Block until duration (s) elapses, max_frames reached, or stop()."""
+        self.start()
+        t0 = time.monotonic()
+        try:
+            while not self._stop.is_set():
+                if duration and time.monotonic() - t0 >= duration:
+                    break
+                if self.max_frames and self._frames_out >= self.max_frames:
+                    break
+                time.sleep(0.05)
+        finally:
+            self.stop()
+
+    def stop(self):
+        self._stop.set()
+        if self.watcher:
+            self.watcher.stop()
+        if self.tcp:
+            self.tcp.stop()
+        if self.rest:
+            self.rest.stop()
+        self.graph.stop()
+        if self._tracker is not None:
+            self._tracker.release()
+
+
+def run_app(config_path: str, **kw) -> StabilizerApp:
+    cfg = load_config(config_path)
+    return StabilizerApp(cfg, config_path=config_path, **kw)

@@ -1,0 +1,65 @@
+"""Learned transform predictor — the deepStabilization hook.
+
+The reference declares ``deepStabilization`` + ``modelPath`` parameters and an
+``applyDeepStabilization`` method (include/video/Stabilizer.h:139-140, 244)
+but ships no model. Here the slot is filled with a small Siamese CNN that
+regresses the inter-frame similarity transform (dx, dy, da) from a stacked
+pair of analysis-resolution grayscale frames — a drop-in alternative motion
+estimator for the LK+RANSAC front-end (same (3,) output contract), trainable
+self-supervised on synthetically warped frames (models/train.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepStabConfig:
+    widths: tuple = (16, 32, 64, 128)
+    dense_width: int = 256
+    dtype: Any = jnp.bfloat16
+
+
+class DeepStabNet(nn.Module):
+    """Input: (B, H, W, 2) stacked [prev_gray, curr_gray] in [0, 255].
+    Output: (B, 3) — (dx, dy, da) in analysis pixels / radians."""
+
+    cfg: DeepStabConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = x / 127.5 - 1.0
+        for w in c.widths:
+            x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=c.dtype, use_bias=False)(x)
+            x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))                    # global average pool
+        x = nn.Dense(c.dense_width, dtype=c.dtype)(x)
+        x = nn.relu(x)
+        out = nn.Dense(3, dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros)(x)
+        # Scale heads: translations in pixels, rotation small (radians).
+        return out * jnp.asarray([10.0, 10.0, 0.1])
+
+
+def create_deepstab(cfg: DeepStabConfig = DeepStabConfig(), seed: int = 0,
+                    height: int = 96, width: int = 160):
+    model = DeepStabNet(cfg)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, height, width, 2), jnp.float32))
+    return model, params
+
+
+def predict_transform(model, params, prev_gray: jnp.ndarray,
+                      curr_gray: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) pair -> (3,) transform; same contract as the LK+RANSAC path."""
+    x = jnp.stack([prev_gray, curr_gray], axis=-1)[None]
+    return model.apply(params, x)[0]

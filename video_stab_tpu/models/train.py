@@ -1,0 +1,171 @@
+"""Sharded training for the learned components (detector + deepstab).
+
+Mesh layout: 2-D ("data", "model").
+- Batch axis sharded over "data" (DP).
+- The detector's conv/head channel axes and the deepstab dense layer sharded
+  over "model" (TP) via param-tree sharding rules + with_sharding_constraint
+  on activations; XLA inserts the all-reduces over ICI.
+
+This is the full training step the driver dry-runs multi-chip: forward, loss,
+backward, optax update, all under one jit over the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_stab_tpu.models.deepstab import DeepStabConfig, create_deepstab
+from video_stab_tpu.models.detector import (
+    DetectorConfig,
+    create_detector,
+    detection_loss,
+)
+
+
+def make_train_mesh(devices: Optional[Sequence] = None,
+                    model_parallel: int = 2) -> Mesh:
+    """2-D (data, model) mesh; model_parallel divides the device count."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    mp = model_parallel if n % model_parallel == 0 else 1
+    arr = np.array(devices).reshape(n // mp, mp)
+    return Mesh(arr, ("data", "model"))
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    """Sharding rule: shard the output-channel axis of every large kernel
+    over 'model'; replicate the rest. Conv kernels are (kh, kw, cin, cout),
+    Dense kernels (cin, cout)."""
+    names = [getattr(p, "key", str(p)) for p in path]
+    if leaf.ndim >= 2 and "kernel" in names and leaf.shape[-1] % 2 == 0 \
+            and leaf.shape[-1] >= 64:
+        return P(*([None] * (leaf.ndim - 1) + ["model"]))
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, _param_spec(path, x))),
+        params)
+
+
+def make_detector_train_step(model, optimizer, mesh: Mesh):
+    def train_step(params, opt_state, frames, targets):
+        frames = jax.lax.with_sharding_constraint(
+            frames, NamedSharding(mesh, P("data")))
+        loss, grads = jax.value_and_grad(
+            lambda p: detection_loss(model, p, frames, targets))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_deepstab_train_step(model, optimizer, mesh: Mesh):
+    def train_step(params, opt_state, pairs, targets):
+        pairs = jax.lax.with_sharding_constraint(
+            pairs, NamedSharding(mesh, P("data")))
+
+        def loss_fn(p):
+            pred = model.apply(p, pairs)
+            err = pred - targets
+            # Huber on translations, scaled L2 on rotation.
+            return jnp.mean(optax.huber_loss(err[:, :2], delta=1.0)) + \
+                10.0 * jnp.mean(err[:, 2] ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def synthetic_detection_batch(rng: np.random.Generator, batch: int,
+                              height: int, width: int, num_classes: int):
+    """Random boxes rendered into frames + CenterNet targets (stride 4)."""
+    from video_stab_tpu.models.detector import STRIDE
+
+    hs, ws = height // STRIDE, width // STRIDE
+    frames = rng.normal(120, 30, (batch, height, width, 3)).astype(np.float32)
+    heat = np.zeros((batch, hs, ws, num_classes), np.float32)
+    size = np.zeros((batch, hs, ws, 2), np.float32)
+    offset = np.zeros((batch, hs, ws, 2), np.float32)
+    mask = np.zeros((batch, hs, ws, 1), np.float32)
+    for b in range(batch):
+        for _ in range(rng.integers(1, 4)):
+            c = int(rng.integers(0, num_classes))
+            bw = float(rng.uniform(16, width / 3))
+            bh = float(rng.uniform(16, height / 3))
+            cx = float(rng.uniform(bw / 2, width - bw / 2))
+            cy = float(rng.uniform(bh / 2, height - bh / 2))
+            x0, y0 = int(cx - bw / 2), int(cy - bh / 2)
+            frames[b, y0:y0 + int(bh), x0:x0 + int(bw), c % 3] += 80.0
+            gx, gy = cx / STRIDE, cy / STRIDE
+            ix, iy = int(gx), int(gy)
+            if 0 <= ix < ws and 0 <= iy < hs:
+                sigma = max(1.0, min(bw, bh) / STRIDE / 6.0)
+                yy, xx = np.mgrid[0:hs, 0:ws]
+                g = np.exp(-((xx - gx) ** 2 + (yy - gy) ** 2)
+                           / (2 * sigma ** 2))
+                heat[b, :, :, c] = np.maximum(heat[b, :, :, c], g)
+                size[b, iy, ix] = (bw / STRIDE, bh / STRIDE)
+                offset[b, iy, ix] = (gx - ix, gy - iy)
+                mask[b, iy, ix] = 1.0
+    frames = np.clip(frames, 0, 255)
+    return frames, {"heatmap": heat, "size": size, "offset": offset,
+                    "mask": mask}
+
+
+def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
+                   width: int = 160, mesh: Optional[Mesh] = None,
+                   log_every: int = 10, seed: int = 0):
+    """Short self-contained training run (used by tests and the CLI)."""
+    cfg = DetectorConfig()
+    model, params = create_detector(cfg, seed=seed, height=height, width=width)
+    mesh = mesh or make_train_mesh(model_parallel=1)
+    params = shard_params(params, mesh)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = make_detector_train_step(model, opt, mesh)
+    rng = np.random.default_rng(seed)
+    losses = []
+    for i in range(n_steps):
+        frames, targets = synthetic_detection_batch(
+            rng, batch, height, width, cfg.num_classes)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(frames),
+                                       jax.tree_util.tree_map(jnp.asarray,
+                                                              targets))
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"[train_detector] step {i} loss {losses[-1]:.4f}")
+    return model, params, losses
+
+
+def dryrun_train_step(devices: Optional[Sequence] = None) -> None:
+    """One detector training step on a (data x model) mesh — the multi-chip
+    compile check invoked by __graft_entry__.dryrun_multichip."""
+    mesh = make_train_mesh(devices, model_parallel=2)
+    cfg = DetectorConfig()
+    model, params = create_detector(cfg, height=64, width=96)
+    params = shard_params(params, mesh)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = make_detector_train_step(model, opt, mesh)
+    rng = np.random.default_rng(0)
+    frames, targets = synthetic_detection_batch(
+        rng, mesh.shape["data"] * 2, 64, 96, cfg.num_classes)
+    params, opt_state, loss = step(
+        params, opt_state, jnp.asarray(frames),
+        jax.tree_util.tree_map(jnp.asarray, targets))
+    assert np.isfinite(float(loss)), float(loss)

@@ -62,9 +62,10 @@ def sep_filter2d(img: jnp.ndarray, kh: tuple[float, ...], kw: tuple[float, ...])
 
 
 def gaussian_kernel_1d(sigma: float, ksize: int | None = None) -> tuple[float, ...]:
-    """cv::getGaussianKernel; auto ksize like GaussianBlur(Size(0,0), sigma) on u8."""
+    """cv::getGaussianKernel; auto ksize like GaussianBlur(Size(0,0), sigma)
+    on float input: ksize = round(sigma*4*2 + 1) | 1 (smooth.cpp)."""
     if ksize is None or ksize <= 0:
-        ksize = 2 * int(round(sigma * 3.0)) + 1
+        ksize = int(round(sigma * 4.0 * 2.0 + 1.0))
     if ksize % 2 == 0:
         ksize += 1
     c = ksize // 2
@@ -188,7 +189,7 @@ def clahe(img: jnp.ndarray, clip_limit: float = 2.0, tile_grid: int = 8) -> jnp.
     ph, pw = th * ty, tw * tx
     x = img
     if (ph, pw) != (h, w):
-        x = jnp.pad(x, ((0, ph - h), (0, pw - w)), mode="edge")
+        x = jnp.pad(x, ((0, ph - h), (0, pw - w)), mode="reflect")
     vals = jnp.clip(x, 0.0, 255.0).astype(jnp.int32)
     tile_row = jnp.arange(ph) // th
     tile_col = jnp.arange(pw) // tw
@@ -197,26 +198,38 @@ def clahe(img: jnp.ndarray, clip_limit: float = 2.0, tile_grid: int = 8) -> jnp.
     hist = jnp.zeros((ty * tx * 256,), jnp.float32).at[flat_bin].add(1.0)
     hist = hist.reshape(ty * tx, 256)
 
+    # Integer clip + redistribution exactly as cv::CLAHE calcLut:
+    # clipLimit = max(int(clip_limit*area/256), 1); excess spread as
+    # batch = clipped//256 to all bins, the residual to bins 0, s, 2s, ...
+    # with s = max(256//residual, 1).
     tile_area = th * tw
-    clip = jnp.maximum(1.0, clip_limit * tile_area / 256.0)
-    excess = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=1, keepdims=True)
-    hist = jnp.minimum(hist, clip) + excess / 256.0
+    clip = max(int(clip_limit * tile_area / 256.0), 1)
+    clipped = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, clip)
+    batch = jnp.floor(clipped / 256.0)
+    residual = clipped - batch * 256.0
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    bins = jnp.arange(256, dtype=jnp.float32)[None, :]
+    res_inc = ((jnp.mod(bins, step) == 0) &
+               (jnp.floor(bins / step) < residual)).astype(jnp.float32)
+    hist = hist + batch + res_inc
     cdf = jnp.cumsum(hist, axis=1)
     lut_scale = 255.0 / tile_area
     luts = jnp.clip(jnp.round(cdf * lut_scale), 0.0, 255.0)  # (T, 256)
     luts = luts.reshape(ty, tx, 256)
 
-    # Bilinear interpolation between the 4 surrounding tile LUTs.
-    ys = (jnp.arange(ph, dtype=jnp.float32) - th / 2.0 + 0.5) / th
-    xs = (jnp.arange(pw, dtype=jnp.float32) - tw / 2.0 + 0.5) / tw
-    y0 = jnp.clip(jnp.floor(ys), 0, ty - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xs), 0, tx - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, ty - 1)
-    x1 = jnp.clip(x0 + 1, 0, tx - 1)
-    fy = jnp.clip(ys - jnp.floor(ys), 0.0, 1.0)
-    fx = jnp.clip(xs - jnp.floor(xs), 0.0, 1.0)
-    fy = jnp.where(ys < 0, 0.0, jnp.where(jnp.floor(ys) >= ty - 1, 1.0, fy))
-    fx = jnp.where(xs < 0, 0.0, jnp.where(jnp.floor(xs) >= tx - 1, 1.0, fx))
+    # Bilinear interpolation between the 4 surrounding tile LUTs
+    # (cv clahe.cpp: txf = x/tw - 0.5, weights before index clamping).
+    ys = jnp.arange(ph, dtype=jnp.float32) / th - 0.5
+    xs = jnp.arange(pw, dtype=jnp.float32) / tw - 0.5
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    fy = ys - y0f
+    fx = xs - x0f
+    y0 = jnp.clip(y0f, 0, ty - 1).astype(jnp.int32)
+    x0 = jnp.clip(x0f, 0, tx - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1, 0, ty - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0f + 1, 0, tx - 1).astype(jnp.int32)
 
     y0g = jnp.broadcast_to(y0[:, None], (ph, pw))
     y1g = jnp.broadcast_to(y1[:, None], (ph, pw))

@@ -1,0 +1,23 @@
+"""Config (reference YAML schema + hot reload) and telemetry."""
+
+from video_stab_tpu.utils.config import (
+    AppConfig,
+    CameraParams,
+    ConfigWatcher,
+    load_config,
+    parse_config_text,
+    save_config,
+)
+from video_stab_tpu.utils.telemetry import (
+    FpsMeter,
+    Metrics,
+    StageTimer,
+    get_logger,
+    trace,
+)
+
+__all__ = [
+    "AppConfig", "CameraParams", "ConfigWatcher", "load_config",
+    "parse_config_text", "save_config",
+    "FpsMeter", "Metrics", "StageTimer", "get_logger", "trace",
+]
