@@ -1,0 +1,238 @@
+"""Streaming integration tests with fake frame sources — no network, no
+hardware (SURVEY.md §4c), plus config/control-plane tests."""
+
+import dataclasses
+import json
+import os
+import socket
+import tempfile
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from video_stab_tpu.io.channels import StreamGraph
+from video_stab_tpu.io.control import (
+    ConfigRestServer,
+    TcpReceiver,
+    apply_rest_update,
+)
+from video_stab_tpu.io.sinks import (
+    MJPEGServer,
+    NullSink,
+    bitrate_bps_app,
+    bitrate_kbps_server,
+)
+from video_stab_tpu.io.sources import SourceParams, SyntheticSource
+from video_stab_tpu.utils.config import (
+    AppConfig,
+    load_config,
+    parse_config_text,
+    save_config,
+)
+
+REFERENCE_CONFIG = "/root/reference/examples/config.yaml"
+
+
+class TestSources:
+    def test_synthetic_reads(self):
+        src = SyntheticSource(SourceParams(source="s"), height=32, width=40,
+                              n_frames=5).start()
+        frames = [src.read(timeout=1.0) for _ in range(5)]
+        src.stop()
+        assert all(f is not None and f.shape == (32, 40, 3) for f in frames)
+
+    def test_fault_injection_and_reconnect(self):
+        # 3 good frames, then 12 failures (> MAX_CONSECUTIVE_FAILURES=5
+        # twice over) trip the reconnect supervisor, then recovery.
+        src = SyntheticSource(SourceParams(source="s"), height=16, width=20,
+                              n_frames=0, fail_after=3, fail_count=12).start()
+        got = 0
+        deadline = time.monotonic() + 8.0
+        while got < 6 and time.monotonic() < deadline:
+            if src.read(timeout=0.5) is not None:
+                got += 1
+        stats = src.stats
+        src.stop()
+        assert got >= 6, (got, stats)
+        assert stats["reconnects"] >= 1, stats
+
+    def test_bounded_queue_drops(self):
+        src = SyntheticSource(SourceParams(source="s", queue_size=2),
+                              height=16, width=20, n_frames=50).start()
+        time.sleep(1.0)          # producer outruns the absent consumer
+        stats = src.stats
+        src.stop()
+        assert stats["frames_dropped"] > 0
+
+
+class TestStreamGraph:
+    def test_routing_and_hot_switch(self):
+        g = StreamGraph()
+        src = SyntheticSource(SourceParams(source="s"), height=16, width=20,
+                              n_frames=0)
+        sink = NullSink()
+        seen = {"processed": 0}
+
+        def proc(frame):
+            seen["processed"] += 1
+            return frame * 0  # black frames mark the processed path
+
+        g.add_pipeline("source", source=src.start(), publish_to="source")
+        g.add_pipeline("processing", listen_to="source", processor=proc,
+                       publish_to="processed")
+        out = g.add_pipeline("output", listen_to="processed", sink=sink)
+        g.start()
+        time.sleep(0.5)
+        assert sink.count > 0 and seen["processed"] > 0
+        # hot switch to passthrough
+        g.set_listen_to("output", "source")
+        assert out.listen_to == "source"
+        c0 = sink.count
+        time.sleep(0.3)
+        assert sink.count > c0
+        names = [p["name"] for p in g.pipeline_list()]
+        assert names == ["source", "processing", "output"]
+        g.stop()
+
+
+class TestControl:
+    def test_tcp_receiver(self):
+        tcp = TcpReceiver(15733).start()
+        s = socket.create_connection(("127.0.0.1", 15733))
+        s.sendall(b"10 20\n30 40\n")
+        time.sleep(0.3)
+        assert tcp.try_get_latest() == (30, 40)
+        assert tcp.try_get_latest() is None    # atomic exchange
+        s.close()
+        tcp.stop()
+
+    def test_rest_update_and_backup(self, tmp_path):
+        path = str(tmp_path / "c.yaml")
+        save_config(AppConfig(), path)
+        res = apply_rest_update(path, {"smoothingRadius": 21,
+                                       "gamma": 0.8, "nope": 1})
+        assert res["applied"] == {"smoothingRadius": 21, "gamma": 0.8}
+        assert "nope" in res["ignored"]
+        assert os.path.exists(path + ".backup")
+        cfg = load_config(path)
+        assert cfg.stabilizer.smoothing_radius == 21
+        assert abs(cfg.enhancer.gamma - 0.8) < 1e-6
+
+    def test_rest_server_endpoints(self, tmp_path):
+        path = str(tmp_path / "c.yaml")
+        save_config(AppConfig(), path)
+        srv = ConfigRestServer(path, port=15734).start()
+        try:
+            health = json.load(urllib.request.urlopen(
+                "http://127.0.0.1:15734/health"))
+            assert health == {"status": "healthy"}
+            req = urllib.request.Request(
+                "http://127.0.0.1:15734/stabilization",
+                data=json.dumps({"horizonLock": True}).encode())
+            resp = json.load(urllib.request.urlopen(req))
+            assert resp["status"] == "ok"
+            assert load_config(path).stabilizer.horizon_lock is True
+        finally:
+            srv.stop()
+
+
+class TestConfig:
+    def test_parses_reference_config_verbatim(self):
+        cfg = load_config(REFERENCE_CONFIG)
+        assert cfg.video_source.startswith("rtsp://")
+        s = cfg.stabilizer
+        assert s.smoothing_radius == 15
+        assert s.smoothing_method == "gaussian"   # the "gausian" typo mapped
+        assert s.border_type == "reflect_101"
+        assert s.crop_n_zoom is True
+        assert s.roi == (192, 108, 1536, 864)
+        assert s.feature_detector == "gftt"
+        assert s.jitter_frequency == "adaptive"   # enum-int 3
+        assert abs(s.fade_alpha - 0.9) < 1e-6      # camelCase fadeAlpha
+        assert s.hf_freeze_duration == 30
+        assert cfg.mode.tracker_enabled is True
+        assert cfg.mode.stabilizer_enabled is False
+        assert abs(cfg.enhancer.gamma - 1.2) < 1e-6
+        assert cfg.roll_correction.angle_filter_max == 70.0
+        assert cfg.tracker.processing_width == 960
+        assert abs(cfg.tracker.confidence_threshold - 0.1) < 1e-6
+
+    def test_roundtrip(self, tmp_path):
+        cfg = load_config(REFERENCE_CONFIG)
+        path = str(tmp_path / "c.yaml")
+        save_config(cfg, path)
+        cfg2 = load_config(path)
+        assert cfg2.stabilizer == cfg.stabilizer
+        assert cfg2.enhancer == cfg.enhancer
+        assert cfg2.mode == cfg.mode
+
+    def test_header_is_filestorage_dialect(self, tmp_path):
+        path = str(tmp_path / "c.yaml")
+        save_config(AppConfig(), path)
+        assert open(path).readline().strip() == "%YAML:1.0"
+
+    def test_unknown_keys_ignored(self):
+        cfg = parse_config_text(
+            "stabilizer:\n  smoothing_radius: 9\n  what_is_this: 3\n")
+        assert cfg.stabilizer.smoothing_radius == 9
+
+
+class TestSinks:
+    def test_bitrate_heuristics(self):
+        assert bitrate_kbps_server(1920, 1080, 30) == \
+            max(2000, int(1920 * 1080 * 30 / 500))
+        assert bitrate_bps_app(640, 360, 30) == 2_000_000      # clamped low
+        assert bitrate_bps_app(3840, 2160, 60) == 8_000_000    # clamped high
+
+    def test_mjpeg_server_serves_frames(self):
+        srv = MJPEGServer(port=18554).start()
+        try:
+            srv.push_frame(np.full((32, 40, 3), 128, np.uint8))
+            req = urllib.request.urlopen(srv.url, timeout=2.0)
+            # read a bit of the multipart stream in a thread-safe way
+            data = req.read(200)
+            assert b"vstabframe" in data and b"image/jpeg" in data
+        finally:
+            srv.close()
+
+
+class TestNative:
+    @pytest.fixture(autouse=True)
+    def _skip_without_lib(self):
+        from video_stab_tpu import native
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+
+    def test_frame_ring_drop_oldest(self):
+        from video_stab_tpu import native
+        ring = native.FrameRing((8, 8, 3), capacity=3)
+        for i in range(5):
+            ring.push(np.full((8, 8, 3), i, np.uint8), stamp=i)
+        assert len(ring) == 3
+        frame, stamp = ring.pop()
+        assert stamp == 2 and frame[0, 0, 0] == 2   # oldest two dropped
+        assert ring.stats["dropped"] == 2
+        ring.close()
+
+    def test_pacing_clock(self):
+        from video_stab_tpu import native
+        pc = native.PacingClock(200.0)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            pc.wait()
+        dt = time.perf_counter() - t0
+        assert 0.03 < dt < 0.3
+        pc.close()
+
+    def test_native_tcp(self):
+        from video_stab_tpu import native
+        tcp = native.NativeTcpReceiver(15735)
+        s = socket.create_connection(("127.0.0.1", 15735))
+        s.sendall(b"5 6\n")
+        time.sleep(0.3)
+        assert tcp.try_get_latest() == (5, 6)
+        assert tcp.try_get_latest() is None
+        s.close()
+        tcp.stop()

@@ -328,11 +328,22 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         cropped = out[b:h - b, b:w - b]
         out = resize_bilinear(cropped, h, w)
 
+    canvas, canvas_weight = state.canvas, state.canvas_weight
+    if params.enable_virtual_canvas and not params.crop_n_zoom:
+        # Virtual canvas runs on the RAW queued frame with the stabilizing
+        # transform (Stabilizer.cpp:1130-1134), replacing the plain warp
+        # output. See core/canvas.py for the TPU reformulation.
+        from video_stab_tpu.core.canvas import virtual_canvas_apply
+        canvas, canvas_weight, out = virtual_canvas_apply(
+            params, canvas, canvas_weight, frame, t_smooth)
+
     out_u8 = saturate_u8(out)
     new_state = state._replace(
         emit_idx=e + 1,
         fade_history=fade_history,
         fade_count=fade_count,
+        canvas=canvas,
+        canvas_weight=canvas_weight,
     )
     return new_state, out_u8
 
@@ -379,8 +390,6 @@ class Stabilizer:
             params = StabilizerParams(**kw)
         elif kw:
             raise ValueError("pass either params or keyword overrides")
-        if params.enable_virtual_canvas:
-            from video_stab_tpu.core import canvas as _canvas  # noqa: F401
         self.params = params
         self._state: Optional[StabilizerState] = None
         self._shape: Optional[tuple] = None

@@ -58,6 +58,10 @@ class StabilizerState(NamedTuple):
     fade_history: jnp.ndarray     # (H+2b, W+2b, 3) f32
     fade_count: jnp.ndarray       # int32
 
+    # Virtual canvas accumulator (dummy (1,1,3)/(1,1) when disabled)
+    canvas: jnp.ndarray           # (Hc, Wc, 3) f32
+    canvas_weight: jnp.ndarray    # (Hc, Wc) f32
+
     # Conditional-CLAHE feature starvation counter (Stabilizer.h:422)
     starvation_counter: jnp.ndarray  # int32
 
@@ -75,6 +79,11 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         fade_shape = (height + 2 * b, width + 2 * b, 3)
     else:
         fade_shape = (1, 1, 3)
+    if params.enable_virtual_canvas:
+        from video_stab_tpu.core.canvas import canvas_shape
+        hc, wc = canvas_shape(params, height, width)
+    else:
+        hc, wc = 1, 1
     return StabilizerState(
         prev_gray=jnp.zeros((ha, wa), jnp.float32),
         prev_pts=jnp.zeros((n, 2), jnp.float32),
@@ -90,6 +99,8 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         hf=hf_init(),
         fade_history=jnp.zeros(fade_shape, jnp.float32),
         fade_count=jnp.int32(0),
+        canvas=jnp.zeros((hc, wc, 3), jnp.float32),
+        canvas_weight=jnp.zeros((hc, wc), jnp.float32),
         starvation_counter=jnp.int32(0),
         key=jax.random.PRNGKey(params.seed),
     )

@@ -104,8 +104,8 @@ def synthetic_detection_batch(rng: np.random.Generator, batch: int,
     for b in range(batch):
         for _ in range(rng.integers(1, 4)):
             c = int(rng.integers(0, num_classes))
-            bw = float(rng.uniform(16, width / 3))
-            bh = float(rng.uniform(16, height / 3))
+            bw = float(rng.uniform(8, max(width / 3, 9)))
+            bh = float(rng.uniform(8, max(height / 3, 9)))
             cx = float(rng.uniform(bw / 2, width - bw / 2))
             cy = float(rng.uniform(bh / 2, height - bh / 2))
             x0, y0 = int(cx - bw / 2), int(cy - bh / 2)

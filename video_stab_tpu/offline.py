@@ -1,0 +1,156 @@
+"""Offline (batch) stabilization — the TPU throughput mode.
+
+The reference is stream-only: one frame in, one frame out, per-frame CUDA
+calls. When the whole clip is available (file workflows, re-encode farms),
+a TPU prefers batch shapes: motion analysis runs as a `lax.scan` over the
+time axis (the only true sequential dependency), trajectory smoothing is one
+whole-path filter (the Pallas trajectory kernel — the stabilizer_cuda.cu
+counterpart), and warping is vmapped over frame chunks so the MXU/VPU see
+large regular batches.
+
+API: ``stabilize_clip(frames, params)`` — frames (T, H, W, 3) uint8 in,
+stabilized (T, H', W', 3) uint8 out, same border/crop semantics as the
+streaming Stabilizer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_stab_tpu import pallas as vpallas
+from video_stab_tpu.core.params import StabilizerParams
+from video_stab_tpu.core.stabilizer import _analysis_gray
+from video_stab_tpu.motion.estimate import estimate_similarity_ransac
+from video_stab_tpu.motion.filters import gaussian_kernel
+from video_stab_tpu.ops.color import saturate_u8
+from video_stab_tpu.ops.features import good_features_to_track
+from video_stab_tpu.ops.lk import lk_track
+from video_stab_tpu.ops.resize import resize_bilinear
+from video_stab_tpu.ops.warp import BORDER_CONSTANT, similarity_matrix, warp_affine
+
+WARP_CHUNK = 8      # frames warped per vmapped dispatch
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _analyze_clip(params: StabilizerParams, frames_u8: jnp.ndarray,
+                  key: jax.Array) -> jnp.ndarray:
+    """(T, H, W, 3) -> (T, 3) raw transforms (transform[0] = 0)."""
+
+    grays = jax.vmap(lambda f: _analysis_gray(params, f.astype(jnp.float32))
+                     )(frames_u8)
+
+    pts0, mask0 = good_features_to_track(
+        grays[0], max_corners=params.max_corners,
+        quality_level=params.quality_level,
+        min_distance=params.min_distance, block_size=params.block_size)
+
+    def step(carry, inp):
+        prev_gray, pts, mask, key, i = carry
+        gray = inp
+        curr_pts, status, _ = lk_track(
+            prev_gray, gray, pts, mask, win=params.lk_window,
+            max_level=params.lk_levels, iters=params.lk_iters)
+        valid = mask & status
+        key, sub = jax.random.split(key)
+        m, _ok, _inl = estimate_similarity_ransac(
+            pts, curr_pts, valid, sub, threshold=params.ransac_threshold,
+            n_hypotheses=params.ransac_hypotheses)
+        raw = jnp.stack([m[0, 2], m[1, 2],
+                         jnp.arctan2(m[1, 0], m[0, 0])])
+
+        def redetect(_):
+            return good_features_to_track(
+                gray, max_corners=params.max_corners, quality_level=0.02,
+                min_distance=15.0, block_size=3)
+
+        def keep(_):
+            return curr_pts, valid
+
+        pts, mask = jax.lax.cond(
+            (i % params.redetect_interval) == 0, redetect, keep, None)
+        return (gray, pts, mask, key, i + 1), raw
+
+    (_, _, _, _, _), raws = jax.lax.scan(
+        step, (grays[0], pts0, mask0, key, jnp.int32(1)), grays[1:])
+    # Forward-motion convention: transform[e] = motion e -> e+1, matching the
+    # streaming stabilizer where frame e's transform is pushed while frame
+    # e+1 is analyzed (Stabilizer.cpp:376-380 + emission at 850). The last
+    # frame has no forward motion (zero, like flush past the queue end).
+    # The vidgear correction formula raw + (smoothed - path) is only
+    # stabilizing under THIS alignment: warped position of frame e becomes
+    # x_e + raw[e] + sm[e] - path[e] = sm[e] + x_0.
+    return jnp.concatenate([raws, jnp.zeros((1, 3), jnp.float32)], axis=0)
+
+
+def _smooth_path(params: StabilizerParams, path: jnp.ndarray) -> jnp.ndarray:
+    """Whole-path smoothing per smoothing_method. Box uses the Pallas
+    trajectory kernel (reference stabilizer_cuda.cu semantics)."""
+    if params.smoothing_method == "gaussian":
+        k = gaussian_kernel(params.gaussian_sigma)
+        c = k.shape[0] // 2
+        n = path.shape[0]
+        idx = jnp.arange(n)[:, None] + (jnp.arange(k.shape[0]) - c)[None, :]
+        idx = jnp.where(idx < 0, -idx, idx)
+        idx = jnp.where(idx > n - 1, 2 * n - 1 - idx, idx)
+        return jnp.einsum("k,nkc->nc", k, path[jnp.clip(idx, 0, n - 1)])
+    if params.smoothing_method == "kalman":
+        def step(carry, z):
+            x, p = carry
+            from video_stab_tpu.motion.filters import kalman_step
+            st, out = kalman_step({"x": x, "p": p}, z)
+            return (st["x"], st["p"]), out
+        x0 = jnp.stack([path[0], jnp.zeros(3)])
+        (_, _), out = jax.lax.scan(step, (x0, jnp.zeros((2, 2, 3))), path[1:])
+        return jnp.concatenate([path[:1], out], axis=0)
+    r = max(2, min(params.smoothing_radius, 50))
+    return vpallas.box_filter_centered(path, r)
+
+
+def stabilize_clip(frames: np.ndarray,
+                   params: StabilizerParams = StabilizerParams(),
+                   ) -> np.ndarray:
+    """Batch-stabilize a whole clip. frames: (T, H, W, 3) uint8 BGR."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w = frames.shape[:3]
+    dev_frames = jnp.asarray(frames)
+
+    raws = _analyze_clip(params, dev_frames, jax.random.PRNGKey(params.seed))
+    path = jnp.cumsum(raws, axis=0)
+    smoothed = _smooth_path(params, path)
+    corrections = raws + (smoothed - path)
+    if params.horizon_lock:
+        corrections = corrections.at[:, 2].set(0.0)
+
+    b = params.border_pad
+    out_h = h + 2 * b if (b > 0 and not params.crop_n_zoom) else h
+    out_w = w + 2 * b if (b > 0 and not params.crop_n_zoom) else w
+
+    @functools.partial(jax.jit, static_argnums=())
+    def warp_chunk(chunk_u8, corr):
+        def one(frame_u8, c):
+            f = frame_u8.astype(jnp.float32)
+            if b > 0 and not params.crop_n_zoom:
+                f = jnp.pad(f, ((b, b), (b, b), (0, 0)))
+            m = similarity_matrix(c[0], c[1], c[2])
+            out = warp_affine(f, m, border_mode=BORDER_CONSTANT)
+            if params.crop_n_zoom and b > 0:
+                out = resize_bilinear(out[b:h - b, b:w - b], h, w)
+            return saturate_u8(out)
+        return jax.vmap(one)(chunk_u8, corr)
+
+    outs = []
+    for start in range(0, t, WARP_CHUNK):
+        end = min(start + WARP_CHUNK, t)
+        chunk = dev_frames[start:end]
+        corr = corrections[start:end]
+        pad = WARP_CHUNK - (end - start)
+        if pad:
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            corr = jnp.pad(corr, ((0, pad), (0, 0)))
+        res = warp_chunk(chunk, corr)
+        outs.append(np.asarray(res[:end - start]))
+    return np.concatenate(outs, axis=0)
