@@ -1,27 +1,27 @@
-"""Benchmark: steady-state stabilized frames/sec/chip at 1080p.
+"""Benchmark: steady-state stabilized frames/sec/chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Baseline: the reference's design frame rate on its target hardware is 30 fps
-at 1080p (Jetson Orin Nano; BASELINE.md — GstdManager.h:24, RTSPServer.h:16),
-so vs_baseline = fps / 30.
+Primary metric: stabilized 1080p frames/sec/chip for the full combined
+analyze+emit step (one XLA program per frame, donated state). Baseline: the
+reference's 30 fps design rate on its target hardware (Jetson Orin Nano;
+BASELINE.md — GstdManager.h:24, RTSPServer.h:16), so vs_baseline = fps/30.
 
-Measures the combined analyze+emit step (one XLA program per frame) with
-donated state, including host->device upload of each uint8 frame — i.e. the
-full per-frame device path a serving deployment pays.
+Extra fields cover BASELINE.json's other headline configs: single-stream 4K
+and 8x concurrent 1080p streams batched on one chip.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
 import numpy as np
 
 
-def run_bench(height=1080, width=1920, n_warmup=3, n_iters=30,
-              smoothing_radius=15):
+def _bench_stream(h, w, n_warmup, n_iters, smoothing_radius=15):
     import jax
 
     from video_stab_tpu.core.params import StabilizerParams
@@ -29,42 +29,63 @@ def run_bench(height=1080, width=1920, n_warmup=3, n_iters=30,
     from video_stab_tpu.core.state import stabilizer_state_init
 
     params = StabilizerParams(smoothing_radius=smoothing_radius)
-    state = stabilizer_state_init(params, height, width)
-
+    state = stabilizer_state_init(params, h, w)
     rng = np.random.default_rng(0)
-    # A fixed pool of realistic-entropy frames (avoid measuring rng).
-    frames = [
-        jax.device_put(rng.integers(0, 255, (height, width, 3),
-                                    dtype=np.uint8))
-        for _ in range(4)
-    ]
+    frames = [jax.device_put(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+              for _ in range(4)]
     jax.block_until_ready(frames)
-
-    # Warm-up: fill the look-ahead queue + compile.
     for i in range(max(n_warmup, params.effective_radius + 1)):
-        state, out = stabilizer_step(params, state, frames[i % len(frames)])
+        state, out = stabilizer_step(params, state, frames[i % 4])
     jax.block_until_ready(out)
-
     t0 = time.perf_counter()
     for i in range(n_iters):
-        state, out = stabilizer_step(params, state, frames[i % len(frames)])
+        state, out = stabilizer_step(params, state, frames[i % 4])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
-    return fps, dt / n_iters * 1e3
+    return n_iters / dt, dt / n_iters * 1e3
+
+
+def _bench_multistream(n_streams, h, w, n_iters=30, smoothing_radius=15):
+    import jax
+
+    from video_stab_tpu.core.params import StabilizerParams
+    from video_stab_tpu.core.stabilizer import stabilizer_step_fn
+    from video_stab_tpu.parallel import batched_state_init
+
+    params = StabilizerParams(smoothing_radius=smoothing_radius)
+    step = jax.jit(jax.vmap(functools.partial(stabilizer_step_fn, params)),
+                   donate_argnums=0)
+    states = batched_state_init(params, n_streams, h, w)
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(
+        rng.integers(0, 255, (n_streams, h, w, 3), dtype=np.uint8))
+    for _ in range(params.effective_radius + 2):
+        states, out = step(states, batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        states, out = step(states, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n_streams * n_iters / dt
 
 
 def main():
     import jax
 
     platform = jax.devices()[0].platform
-    fps, ms = run_bench()
+    fps_1080, ms_1080 = _bench_stream(1080, 1920, 3, 30)
+    fps_4k, ms_4k = _bench_stream(2160, 3840, 3, 30)
+    fps_multi = _bench_multistream(8, 1080, 1920)
     print(json.dumps({
         "metric": "stabilized_fps_1080p",
-        "value": round(fps, 2),
+        "value": round(fps_1080, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 30.0, 3),
-        "p50_ms_per_frame": round(ms, 3),
+        "vs_baseline": round(fps_1080 / 30.0, 3),
+        "p50_ms_per_frame_1080p": round(ms_1080, 3),
+        "fps_4k": round(fps_4k, 2),
+        "p50_ms_per_frame_4k": round(ms_4k, 3),
+        "fps_8x1080p_aggregate": round(fps_multi, 2),
         "platform": platform,
     }))
 

@@ -105,6 +105,31 @@ class TestStabilizer:
         st.clean()
         assert st.stabilize(frames[0]) is None   # first frame again
 
+    @pytest.mark.parametrize("variant", [
+        dict(feature_detector="fast", fast_threshold=10),
+        dict(smoothing_method="gaussian"),
+        dict(smoothing_method="kalman"),
+        dict(smoothing_method="butterworth"),
+        dict(drone_high_freq_mode=True),
+        dict(horizon_lock=True),
+        dict(border_type="fade", border_size=8),
+    ])
+    def test_variants_run_end_to_end(self, jittered_clip, variant):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(smoothing_radius=5, **SMALL,
+                                         **variant))
+        outs = run_clip(st, frames[:8])
+        assert len(outs) == 8
+        assert all(o.dtype == np.uint8 for o in outs)
+
+    def test_virtual_canvas_runs(self, jittered_clip):
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(
+            smoothing_radius=5, enable_virtual_canvas=True,
+            canvas_scale_factor=1.4, **SMALL))
+        outs = run_clip(st, frames[:8])
+        assert outs[0].shape == frames[0].shape
+
     def test_state_roundtrip(self, jittered_clip):
         frames, _ = jittered_clip
         p = StabilizerParams(smoothing_radius=6, **SMALL)

@@ -75,3 +75,52 @@ class TestTraining:
                                       width=48, log_every=0)
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestDeepStab:
+    def test_forward_contract(self):
+        import jax.numpy as jnp
+        from video_stab_tpu.models.deepstab import (create_deepstab,
+                                                    predict_transform)
+        m, p = create_deepstab(height=48, width=64)
+        t = predict_transform(m, p, jnp.zeros((48, 64)), jnp.zeros((48, 64)))
+        assert t.shape == (3,)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        import jax
+        import numpy as np
+        from video_stab_tpu.models.deepstab import (create_deepstab,
+                                                    load_deepstab,
+                                                    save_deepstab)
+        _, p = create_deepstab(height=48, width=64, seed=3)
+        path = str(tmp_path / "net.msgpack")
+        save_deepstab(p, path)
+        p2 = load_deepstab(path, height=48, width=64)
+        flat = jax.tree_util.tree_leaves(p)
+        flat2 = jax.tree_util.tree_leaves(p2)
+        assert all(np.array_equal(a, b) for a, b in zip(flat, flat2))
+
+    def test_training_loss_decreases_on_fixed_batch(self):
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+        from video_stab_tpu.models.deepstab import create_deepstab
+        from video_stab_tpu.models.train import (
+            make_deepstab_train_step,
+            make_train_mesh,
+            synthetic_pair_batch,
+        )
+        model, params = create_deepstab(height=32, width=48)
+        mesh = make_train_mesh(model_parallel=1)
+        opt = optax.adamw(1e-3)
+        opt_state = opt.init(params)
+        step = make_deepstab_train_step(model, opt, mesh)
+        rng = np.random.default_rng(0)
+        pairs, targets = synthetic_pair_batch(rng, 2, 32, 48)
+        pairs, targets = jnp.asarray(pairs), jnp.asarray(targets)
+        losses = []
+        for _ in range(8):   # fixed batch -> loss must decrease
+            params, opt_state, loss = step(params, opt_state, pairs, targets)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

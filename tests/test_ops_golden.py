@@ -222,3 +222,28 @@ class TestCannyHough:
         angle_deg = np.degrees(theta) - 90.0
         expected = np.degrees(np.arctan2(28 - 40, 90 - 5))
         assert abs(angle_deg - expected) < 3.0, (angle_deg, expected)
+
+
+class TestFast:
+    def test_matches_cv2_fast(self):
+        img = np.zeros((60, 80), np.float32)
+        for (y, x) in [(12, 14), (12, 60), (44, 20), (44, 66), (30, 40)]:
+            img[y:y + 8, x:x + 8] = 255.0
+        img = cv2.GaussianBlur(img, (0, 0), 0.8)
+        pts, mask = ops.fast_corners(img, threshold=20.0, max_corners=64,
+                                     min_distance=4.0)
+        pts = np.asarray(pts)[np.asarray(mask)]
+        kps = cv2.FastFeatureDetector_create(20).detect(img.astype(np.uint8))
+        ref = np.array([k.pt for k in kps])
+        assert len(ref) > 0
+        for rp in ref:
+            d = np.sqrt(((pts - rp) ** 2).sum(axis=1)).min()
+            assert d < 3.0, (rp, d)
+
+    def test_orb_brisk_variants_find_corners(self):
+        img = np.zeros((60, 80), np.float32)
+        img[20:40, 30:50] = 255.0
+        img = cv2.GaussianBlur(img, (0, 0), 0.8)
+        for fn in (ops.orb_corners, ops.brisk_corners):
+            pts, mask = fn(img, 20.0, max_corners=16)
+            assert np.asarray(mask).sum() >= 4   # the 4 square corners

@@ -46,6 +46,7 @@ from video_stab_tpu.motion.estimate import estimate_similarity_ransac
 from video_stab_tpu.motion.filters import (
     adaptive_radius,
     box_filter_emit,
+    butterworth_cascade,
     gaussian_filter_emit,
     gaussian_kernel,
     kalman_step,
@@ -58,6 +59,7 @@ from video_stab_tpu.motion.intent import (
     intent_correction_scale,
 )
 from video_stab_tpu.ops.color import bgr_to_gray, saturate_u8
+from video_stab_tpu.ops.fast import brisk_corners, fast_corners, orb_corners
 from video_stab_tpu.ops.features import good_features_to_track
 from video_stab_tpu.ops.filters import clahe
 from video_stab_tpu.ops.lk import lk_track
@@ -85,6 +87,33 @@ def _analysis_gray(params: StabilizerParams, frame_f32: jnp.ndarray) -> jnp.ndar
     return resize_bilinear(gray, params.analysis_height, params.analysis_width)
 
 
+def _detect_features(params: StabilizerParams, gray: jnp.ndarray,
+                     roi=None, redetect: bool = False):
+    """Feature detection dispatch (detectFeatures, Stabilizer.cpp:1194-1266:
+    GFTT | ORB | FAST | BRISK). Re-detection uses the reference's fast GFTT
+    parameters (quality 0.02, min distance 15, Stabilizer.cpp:738-744) for
+    the GFTT path; the alternative detectors keep their own thresholds."""
+    fd = params.feature_detector
+    if fd == "fast":
+        return fast_corners(gray, float(params.fast_threshold),
+                            max_corners=params.max_corners)
+    if fd == "orb":
+        return orb_corners(gray, float(params.fast_threshold),
+                           max_corners=params.max_corners)
+    if fd == "brisk":
+        return brisk_corners(gray, float(params.fast_threshold),
+                             max_corners=params.max_corners)
+    if redetect:
+        return good_features_to_track(
+            gray, max_corners=params.max_corners,
+            quality_level=0.02, min_distance=15.0, block_size=3)
+    return good_features_to_track(
+        gray, max_corners=params.max_corners,
+        quality_level=params.quality_level,
+        min_distance=params.min_distance,
+        block_size=params.block_size, roi=roi)
+
+
 def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,
                          frame_u8: jnp.ndarray) -> StabilizerState:
     """First-frame initialization (Stabilizer.cpp:271-368): analysis gray +
@@ -92,11 +121,7 @@ def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,
     frame_f32 = frame_u8.astype(jnp.float32)
     gray = _analysis_gray(params, frame_f32)
     roi = jnp.asarray(params.roi, jnp.int32) if params.use_roi else None
-    pts, mask = good_features_to_track(
-        gray, max_corners=params.max_corners,
-        quality_level=params.quality_level,
-        min_distance=params.min_distance,
-        block_size=params.block_size, roi=roi)
+    pts, mask = _detect_features(params, gray, roi=roi)
     q = state.frame_ring.shape[0]
     return state._replace(
         prev_gray=gray,
@@ -127,23 +152,39 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
             lambda g: g,
             gray)
 
-    # Sparse pyramidal LK from the previous analysis frame.
-    curr_pts, status, _err = lk_track(
-        state.prev_gray, gray, state.prev_pts, state.prev_mask,
-        win=params.lk_window, max_level=params.lk_levels,
-        iters=params.lk_iters)
-    valid = state.prev_mask & status
+    if params.deep_stabilization:
+        # Learned motion estimator in place of LK+RANSAC — the
+        # deepStabilization/modelPath slot (Stabilizer.h:139-140,
+        # applyDeepStabilization declared but never shipped in the
+        # reference). Same (dx, dy, da) contract; weights live in
+        # state.deepstab (loaded by the wrapper from params.model_path).
+        from video_stab_tpu.models.deepstab import DeepStabConfig, DeepStabNet
+        net = DeepStabNet(DeepStabConfig())
+        pair = jnp.stack([state.prev_gray, gray], axis=-1)[None]
+        raw = net.apply(state.deepstab, pair)[0]
+        curr_pts, valid = state.prev_pts, state.prev_mask
+        inliers = jnp.zeros_like(state.prev_mask)
+        est_ok = jnp.asarray(True)
+        key = state.key
+    else:
+        # Sparse pyramidal LK from the previous analysis frame.
+        curr_pts, status, _err = lk_track(
+            state.prev_gray, gray, state.prev_pts, state.prev_mask,
+            win=params.lk_window, max_level=params.lk_levels,
+            iters=params.lk_iters)
+        valid = state.prev_mask & status
 
-    # RANSAC 4-DOF similarity (estimateAffinePartial2D, Stabilizer.cpp:647-649).
-    key, sub = jax.random.split(state.key)
-    m, est_ok, inliers = estimate_similarity_ransac(
-        state.prev_pts, curr_pts, valid, sub,
-        threshold=params.ransac_threshold,
-        n_hypotheses=params.ransac_hypotheses)
-    dx = m[0, 2]
-    dy = m[1, 2]
-    da = jnp.arctan2(m[1, 0], m[0, 0])
-    raw = jnp.stack([dx, dy, da])
+        # RANSAC 4-DOF similarity (estimateAffinePartial2D,
+        # Stabilizer.cpp:647-649).
+        key, sub = jax.random.split(state.key)
+        m, est_ok, inliers = estimate_similarity_ransac(
+            state.prev_pts, curr_pts, valid, sub,
+            threshold=params.ransac_threshold,
+            n_hypotheses=params.ransac_hypotheses)
+        dx = m[0, 2]
+        dy = m[1, 2]
+        da = jnp.arctan2(m[1, 0], m[0, 0])
+        raw = jnp.stack([dx, dy, da])
 
     # Drone high-frequency vibration chain (Stabilizer.cpp:583-588).
     hf = state.hf
@@ -175,9 +216,7 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
     # fast re-detect parameters (Stabilizer.cpp:696-747: maxCorners<=200,
     # quality 0.02, minDistance 15, blockSize 3).
     def redetect(_):
-        return good_features_to_track(
-            gray, max_corners=params.max_corners,
-            quality_level=0.02, min_distance=15.0, block_size=3)
+        return _detect_features(params, gray, redetect=True)
 
     def keep(_):
         return curr_pts, valid
@@ -216,6 +255,26 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
         kernel = gaussian_kernel(params.gaussian_sigma)
         sm = gaussian_filter_emit(state.path_ring, state.n_path, e, kernel)
         return state, sm
+    if params.smoothing_method == "butterworth":
+        # Causal IIR cascade advanced once per emitted frame. The reference
+        # only reaches butterworthFilter from its (never-called)
+        # applyMultiStageSmoothing (Stabilizer.cpp:1577-1634, 2014-2041);
+        # exposed here as a live smoothing_method honoring jitter_frequency
+        # via mapJitterFrequencyToCutoff (2589-2602).
+        cutoffs = {"low": 0.05, "medium": 0.1, "high": 0.25,
+                   "adaptive": 0.15}
+        cutoff = cutoffs.get(params.jitter_frequency, 0.1)
+        z = ring_get(state.path_ring, e)
+
+        def init(_):
+            st0 = jnp.broadcast_to(z, (4, 3))
+            return st0, z
+
+        def step(_):
+            return butterworth_cascade(state.butter_state, z, cutoff, 4)
+
+        bst, sm = jax.lax.cond(e == 0, init, step, None)
+        return state._replace(butter_state=bst), sm
     if params.smoothing_method == "kalman":
         # Forward-pass KF value at e depends only on path[0..e]; advance the
         # cursor state one step per emitted frame (Stabilizer.cpp:1416-1458).
@@ -400,6 +459,20 @@ class Stabilizer:
         h, w = frame.shape[:2]
         if self._state is None:
             self._state = stabilizer_state_init(self.params, h, w)
+            if self.params.deep_stabilization:
+                from video_stab_tpu.models.deepstab import (
+                    create_deepstab,
+                    load_deepstab,
+                )
+                p = self.params
+                if p.model_path:
+                    weights = load_deepstab(
+                        p.model_path, height=p.analysis_height,
+                        width=p.analysis_width)
+                else:   # untrained network (testing/bring-up)
+                    _, weights = create_deepstab(
+                        height=p.analysis_height, width=p.analysis_width)
+                self._state = self._state._replace(deepstab=weights)
             self._shape = (h, w)
         elif self._shape != (h, w):
             raise ValueError(

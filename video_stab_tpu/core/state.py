@@ -50,6 +50,7 @@ class StabilizerState(NamedTuple):
     # Kalman smoother cursor (advanced once per emitted frame)
     kalman_x: jnp.ndarray         # (2, 3) f32 — [position, velocity] per axis
     kalman_p: jnp.ndarray         # (2, 2, 3) f32 — covariance per axis
+    butter_state: jnp.ndarray     # (4, 3) f32 — butterworth cascade stages
 
     # Drone high-frequency chain state
     hf: HFState
@@ -67,6 +68,10 @@ class StabilizerState(NamedTuple):
 
     # Stream PRNG (RANSAC hypothesis sampling)
     key: jax.Array
+
+    # DeepStab network weights when deep_stabilization is on (else empty
+    # tuple — still a valid pytree leaf-set for vmap/donation)
+    deepstab: object = ()
 
 
 def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
@@ -96,6 +101,7 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         emit_idx=jnp.int32(0),
         kalman_x=jnp.zeros((2, 3), jnp.float32),
         kalman_p=jnp.zeros((2, 2, 3), jnp.float32),
+        butter_state=jnp.zeros((4, 3), jnp.float32),
         hf=hf_init(),
         fade_history=jnp.zeros(fade_shape, jnp.float32),
         fade_count=jnp.int32(0),
@@ -103,6 +109,7 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         canvas_weight=jnp.zeros((hc, wc), jnp.float32),
         starvation_counter=jnp.int32(0),
         key=jax.random.PRNGKey(params.seed),
+        deepstab=(),
     )
 
 

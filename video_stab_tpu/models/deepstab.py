@@ -63,3 +63,22 @@ def predict_transform(model, params, prev_gray: jnp.ndarray,
     """(H, W) pair -> (3,) transform; same contract as the LK+RANSAC path."""
     x = jnp.stack([prev_gray, curr_gray], axis=-1)[None]
     return model.apply(params, x)[0]
+
+
+def save_deepstab(params, path: str) -> None:
+    """Serialize network weights (flax msgpack) to ``path`` — the artifact
+    ``StabilizerParams.model_path`` points at."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_deepstab(path: str, cfg: DeepStabConfig = DeepStabConfig(),
+                  height: int = 96, width: int = 160, seed: int = 0):
+    """Load weights saved by save_deepstab into a freshly-built template."""
+    from flax import serialization
+
+    _, template = create_deepstab(cfg, seed=seed, height=height, width=width)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

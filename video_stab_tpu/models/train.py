@@ -169,3 +169,56 @@ def dryrun_train_step(devices: Optional[Sequence] = None) -> None:
         params, opt_state, jnp.asarray(frames),
         jax.tree_util.tree_map(jnp.asarray, targets))
     assert np.isfinite(float(loss)), float(loss)
+
+
+def synthetic_pair_batch(rng: np.random.Generator, batch: int, height: int,
+                         width: int):
+    """Self-supervised deepstab data: textured frames + known random rigid
+    warps -> (pairs (B,H,W,2), targets (B,3))."""
+    import cv2
+
+    pairs = np.empty((batch, height, width, 2), np.float32)
+    targets = np.empty((batch, 3), np.float32)
+    for b in range(batch):
+        world = rng.random((height + 32, width + 32)).astype(np.float32)
+        world = cv2.GaussianBlur(world, (0, 0), 2.0) * 255.0
+        prev = world[16:16 + height, 16:16 + width]
+        dx = float(rng.uniform(-4, 4))
+        dy = float(rng.uniform(-4, 4))
+        da = float(rng.uniform(-0.03, 0.03))
+        c, s = np.cos(da), np.sin(da)
+        m = np.float32([[c, -s, dx], [s, c, dy]])
+        curr = cv2.warpAffine(world, m, (width + 32, height + 32)
+                              )[16:16 + height, 16:16 + width]
+        pairs[b, :, :, 0] = prev
+        pairs[b, :, :, 1] = curr
+        targets[b] = (dx, dy, da)
+    return pairs, targets
+
+
+def train_deepstab(n_steps: int = 100, batch: int = 8, height: int = 96,
+                   width: int = 160, mesh: Optional[Mesh] = None,
+                   log_every: int = 20, seed: int = 0, save_path: str = ""):
+    """Self-supervised deepstab training on synthetic rigid warps."""
+    from video_stab_tpu.models.deepstab import save_deepstab
+
+    model, params = create_deepstab(DeepStabConfig(), seed=seed,
+                                    height=height, width=width)
+    mesh = mesh or make_train_mesh(model_parallel=1)
+    params = shard_params(params, mesh)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = make_deepstab_train_step(model, opt, mesh)
+    rng = np.random.default_rng(seed)
+    losses = []
+    for i in range(n_steps):
+        pairs, targets = synthetic_pair_batch(rng, batch, height, width)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(pairs),
+                                       jnp.asarray(targets))
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"[train_deepstab] step {i} loss {losses[-1]:.4f}")
+    if save_path:
+        save_deepstab(params, save_path)
+    return model, params, losses

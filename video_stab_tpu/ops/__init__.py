@@ -46,6 +46,12 @@ from video_stab_tpu.ops.features import (
     min_eig_response,
     good_features_to_track,
 )
+from video_stab_tpu.ops.fast import (
+    brisk_corners,
+    fast_corners,
+    fast_response,
+    orb_corners,
+)
 from video_stab_tpu.ops.lk import lk_track
 from video_stab_tpu.ops.canny import canny_edges
 from video_stab_tpu.ops.hough import hough_lines
@@ -62,6 +68,7 @@ __all__ = [
     "dilate", "erode", "morph_close", "threshold_binary", "clahe",
     "unsharp_mask", "bilateral_denoise",
     "min_eig_response", "good_features_to_track",
+    "fast_response", "fast_corners", "orb_corners", "brisk_corners",
     "lk_track",
     "canny_edges",
     "hough_lines",
