@@ -236,3 +236,40 @@ class TestNative:
         assert tcp.try_get_latest() is None
         s.close()
         tcp.stop()
+
+
+class TestChannelBridge:
+    def test_bidirectional(self):
+        from video_stab_tpu.io.channels import ChannelBridge
+        g = StreamGraph()
+        br = ChannelBridge(g, "a", "b")
+        g.channel("a").publish(np.ones((4, 4, 3), np.uint8))
+        f = br.read(timeout=0.5)
+        assert f is not None
+        br.push_frame(f * 3)
+        out, _ = g.channel("b").subscribe(0, timeout=0.5)
+        assert out[0, 0, 0] == 3
+        assert br.frames_in == 1 and br.frames_out == 1
+        assert br.is_healthy()
+        br.stop()
+
+
+class TestGraphDaemon:
+    def test_daemon_lifecycle_and_switch(self):
+        from video_stab_tpu.io.daemon import GraphDaemonClient
+        d = GraphDaemonClient(source="synthetic:64x48", output="null",
+                              port=15918)
+        try:
+            assert d.initialize()
+            assert d.create_pipelines()
+            assert d.start()
+            time.sleep(0.8)
+            names = {p["name"]: p for p in d.pipeline_list()}
+            assert set(names) == {"capture", "passthrough", "output"}
+            assert names["capture"]["frames_processed"] > 0
+            assert d.switch_mode(processing=True)
+            assert d.pipeline_list()[-1]["listen_to"] == "processed"
+            assert d.is_healthy()
+        finally:
+            d.stop()
+        assert not d.is_healthy()

@@ -34,7 +34,8 @@ def _jitter(frames):
 class TestOffline:
     @pytest.mark.parametrize("method,factor", [("box", 0.3),
                                                ("gaussian", 0.3),
-                                               ("kalman", 0.7)])
+                                               ("kalman", 0.7),
+                                               ("l1", 0.2)])
     def test_reduces_jitter(self, method, factor):
         clip = _clip()
         p = StabilizerParams(smoothing_radius=6, smoothing_method=method,
@@ -58,3 +59,22 @@ class TestOffline:
         p = StabilizerParams(smoothing_radius=5, **SMALL)
         out = stabilize_clip(clip, p)
         assert out.shape[0] == 11
+
+
+class TestL1Path:
+    def test_piecewise_linear_recovery(self):
+        import jax.numpy as jnp
+        from video_stab_tpu.motion import l1_smooth_path
+        rng = np.random.default_rng(0)
+        t = np.arange(120)
+        base = np.where(t < 60, 0.0, (t - 60) * 0.5)   # static, then pan
+        noisy = base + rng.normal(0, 2.0, 120)
+        p = jnp.asarray(np.stack([noisy] * 3, 1).astype(np.float32))
+        sm = np.asarray(l1_smooth_path(p, bound=jnp.asarray([8.0, 8.0, 8.0])))
+        # jitter removed...
+        assert np.abs(np.diff(sm[:, 0])).mean() < \
+            np.abs(np.diff(noisy)).mean() * 0.25
+        # ...within the crop-box constraint...
+        assert np.abs(sm[:, 0] - noisy).max() <= 8.0 + 1e-3
+        # ...and the static segment is near-constant
+        assert sm[:55, 0].std() < noisy[:55].std() * 0.5

@@ -20,7 +20,8 @@ from video_stab_tpu.io.sinks import (
     bitrate_kbps_server,
     open_sink,
 )
-from video_stab_tpu.io.channels import Channel, Pipeline, StreamGraph
+from video_stab_tpu.io.channels import Channel, ChannelBridge, Pipeline, StreamGraph
+from video_stab_tpu.io.daemon import GraphDaemonClient
 from video_stab_tpu.io.control import (
     ConfigRestServer,
     TcpReceiver,
@@ -34,7 +35,8 @@ __all__ = [
     "open_source",
     "FrameSink", "FileSink", "NullSink", "CallbackSink", "MJPEGServer",
     "EncoderParams", "open_sink", "bitrate_kbps_server", "bitrate_bps_app",
-    "Channel", "Pipeline", "StreamGraph",
+    "Channel", "ChannelBridge", "Pipeline", "StreamGraph",
+    "GraphDaemonClient",
     "TcpReceiver", "TcpReciever", "ConfigRestServer", "apply_rest_update",
     "StabilizerApp", "run_app",
 ]

@@ -171,3 +171,42 @@ class StreamGraph:
                 p.source.stop()
             if p.sink is not None:
                 p.sink.close()
+
+
+class ChannelBridge:
+    """Bidirectional frame bridge — the vs::CamCapInterpipe counterpart
+    (src/CamCapInterpipe.cpp: interpipesrc->appsink input + appsrc->
+    interpipesink output, include/video/CamCapInterpipe.h:37-46's
+    read()/pushFrame() surface). Attach to a StreamGraph's named channels:
+    ``read()`` pulls the next frame from ``listen_to``; ``push_frame()``
+    publishes into ``publish_to``."""
+
+    def __init__(self, graph: "StreamGraph", listen_to: str,
+                 publish_to: str):
+        self.graph = graph
+        self.listen_to = listen_to
+        self.publish_to = publish_to
+        self._last_seq = 0
+        self._running = True
+        self.frames_in = 0
+        self.frames_out = 0
+
+    def read(self, timeout: float = 0.5) -> Optional[np.ndarray]:
+        frame, self._last_seq = self.graph.channel(
+            self.listen_to).subscribe(self._last_seq, timeout)
+        if frame is not None:
+            self.frames_in += 1
+        return frame
+
+    def push_frame(self, frame: np.ndarray) -> None:
+        self.graph.channel(self.publish_to).publish(frame)
+        self.frames_out += 1
+
+    # reference API aliases (CamCapInterpipe.h:37-46)
+    write = push_frame
+
+    def is_healthy(self) -> bool:
+        return self._running
+
+    def stop(self) -> None:
+        self._running = False

@@ -23,6 +23,7 @@ from video_stab_tpu.motion.hf import (
     hf_init,
     hf_apply,
 )
+from video_stab_tpu.motion.l1path import l1_smooth_path
 
 __all__ = [
     "estimate_similarity_ransac", "estimate_rigid_closed_form",
@@ -30,5 +31,6 @@ __all__ = [
     "box_filter_emit", "gaussian_filter_emit", "kalman_step",
     "butterworth_cascade", "adaptive_radius",
     "MotionIntent", "analyze_motion_intent", "intent_correction_scale",
+    "l1_smooth_path",
     "HFState", "hf_init", "hf_apply",
 ]

@@ -97,6 +97,14 @@ def _smooth_path(params: StabilizerParams, path: jnp.ndarray) -> jnp.ndarray:
         idx = jnp.where(idx < 0, -idx, idx)
         idx = jnp.where(idx > n - 1, 2 * n - 1 - idx, idx)
         return jnp.einsum("k,nkc->nc", k, path[jnp.clip(idx, 0, n - 1)])
+    if params.smoothing_method == "l1":
+        # Cinematic L1-optimal path (motion/l1path.py; no reference
+        # counterpart — the crop box bound comes from border_size, falling
+        # back to a 2% frame diagonal heuristic when borderless).
+        from video_stab_tpu.motion.l1path import l1_smooth_path
+        b = float(params.border_size) if params.border_size > 0 else 20.0
+        bound = jnp.asarray([b, b, 0.05], jnp.float32)
+        return l1_smooth_path(path, bound)
     if params.smoothing_method == "kalman":
         def step(carry, z):
             x, p = carry
