@@ -6,6 +6,7 @@ here:
   python -m video_stab_tpu.cli run <config.yaml> [--duration S] [--frames N]
                                     [--rest] [--tcp]
   python -m video_stab_tpu.cli stabilize <in.mp4> <out.mp4> [--radius N] ...
+  python -m video_stab_tpu.cli offline <in.mp4> <out.mp4> [--method l1]
   python -m video_stab_tpu.cli selftest            # synthetic end-to-end run
   python -m video_stab_tpu.cli bench               # one-JSON-line benchmark
   python -m video_stab_tpu.cli train-detector      # short synthetic training
@@ -81,6 +82,46 @@ def cmd_stabilize(args) -> int:
     print(json.dumps({"frames_in": n_in, "frames_out": n_out,
                       "seconds": round(dt, 2),
                       "fps": round(n_in / dt, 1) if dt else 0.0}))
+    return 0
+
+
+def cmd_offline(args) -> int:
+    """Whole-clip batch stabilization (TPU throughput mode; supports the
+    cinematic --method l1 path)."""
+    _quiet_cv2()
+    import cv2
+    import numpy as np
+
+    from video_stab_tpu.core.params import StabilizerParams
+    from video_stab_tpu.io.sinks import EncoderParams, FileSink
+    from video_stab_tpu.offline import stabilize_clip
+
+    cap = cv2.VideoCapture(args.input)
+    if not cap.isOpened():
+        print(f"cannot open {args.input}", file=sys.stderr)
+        return 1
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok or (args.max_frames and len(frames) >= args.max_frames):
+            break
+        frames.append(frame)
+    cap.release()
+    if not frames:
+        print("no frames decoded", file=sys.stderr)
+        return 1
+    t0 = time.perf_counter()
+    out = stabilize_clip(np.stack(frames), StabilizerParams(
+        smoothing_radius=args.radius, smoothing_method=args.method,
+        border_size=args.border_size, crop_n_zoom=args.crop))
+    dt = time.perf_counter() - t0
+    sink = FileSink(args.output, EncoderParams(fps=fps))
+    for f in out:
+        sink.write(f)
+    sink.close()
+    print(json.dumps({"frames": len(frames), "seconds": round(dt, 2),
+                      "fps": round(len(frames) / dt, 1)}))
     return 0
 
 
@@ -169,6 +210,17 @@ def main(argv=None) -> int:
     ps.add_argument("--method", default="box",
                     choices=["box", "gaussian", "kalman"])
     ps.set_defaults(fn=cmd_stabilize)
+
+    po = sub.add_parser("offline", help="batch-stabilize a whole clip")
+    po.add_argument("input")
+    po.add_argument("output")
+    po.add_argument("--radius", type=int, default=15)
+    po.add_argument("--method", default="l1",
+                    choices=["box", "gaussian", "kalman", "l1"])
+    po.add_argument("--border-size", type=int, default=0, dest="border_size")
+    po.add_argument("--crop", action="store_true")
+    po.add_argument("--max-frames", type=int, default=0, dest="max_frames")
+    po.set_defaults(fn=cmd_offline)
 
     pt = sub.add_parser("selftest", help="synthetic end-to-end run")
     pt.set_defaults(fn=cmd_selftest)
