@@ -262,3 +262,42 @@ class TestEnhancer:
             0, 255, (16, 20, 3), dtype=np.uint8)
         en = Enhancer(EnhancerParams())
         assert np.array_equal(en.enhance(img), img)
+
+
+class TestProcessingChain:
+    def _chain(self, **mode_kw):
+        from video_stab_tpu.core.chain import ProcessingChain
+        from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                                RollCorrectionParams)
+        return ProcessingChain(
+            ModeParams(**mode_kw),
+            EnhancerParams(brightness=5.0, contrast=1.1, gamma=0.9),
+            RollCorrectionParams(scale_factor=0.5),
+            StabilizerParams(smoothing_radius=5, **SMALL))
+
+    def test_full_chain_runs(self, jittered_clip):
+        frames, _ = jittered_clip
+        ch = self._chain(enhancer_enabled=True, roll_correction_enabled=True,
+                         stabilizer_enabled=True)
+        outs = [o for f in frames[:10] if (o := ch.process(f)) is not None]
+        assert len(outs) == 10 - 4        # warm-up = effective_radius - 1
+        assert outs[0].shape == frames[0].shape
+
+    def test_chain_reduces_jitter(self, jittered_clip):
+        frames, _ = jittered_clip
+        ch = self._chain(stabilizer_enabled=True)
+        outs = [o for f in frames if (o := ch.process(f)) is not None]
+        assert jitter_energy(outs[2:]) < jitter_energy(frames) * 0.9
+
+    def test_chain_matches_stabilizer_when_only_stab(self, jittered_clip):
+        # enhancer/roll disabled -> the fused chain must equal the plain
+        # Stabilizer output frame-for-frame.
+        frames, _ = jittered_clip
+        ch = self._chain(stabilizer_enabled=True)
+        st = Stabilizer(StabilizerParams(smoothing_radius=5, **SMALL))
+        for f in frames[:9]:
+            a = ch.process(f)
+            b = st.stabilize(f)
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert np.array_equal(a, b)

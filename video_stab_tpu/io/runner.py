@@ -24,6 +24,7 @@ from typing import Optional
 import numpy as np
 
 from video_stab_tpu.core.autozoomcrop import AutoZoomCrop
+from video_stab_tpu.core.chain import ProcessingChain
 from video_stab_tpu.core.enhancer import Enhancer
 from video_stab_tpu.core.rollcorrection import RollCorrection
 from video_stab_tpu.core.stabilizer import Stabilizer
@@ -42,8 +43,9 @@ class StabilizerApp:
                  sink: Optional[FrameSink] = None,
                  enable_tcp: bool = False, tcp_port: int = 5000,
                  enable_rest: bool = False, rest_port: int = 5001,
-                 max_frames: int = 0):
+                 max_frames: int = 0, fused: bool = True):
         self.cfg = config
+        self.fused = fused
         self.config_path = config_path
         self.metrics = Metrics()
         self.log = get_logger("App", True)
@@ -89,6 +91,18 @@ class StabilizerApp:
     # -- config / processors ----------------------------------------------
     def _build_processors(self):
         m = self.cfg.mode
+        self.chain = None
+        if self.fused and (m.enhancer_enabled or m.roll_correction_enabled or
+                           m.stabilizer_enabled):
+            # One fused XLA program for the device-side chain
+            # (core/chain.py) — one host<->HBM round trip per frame.
+            self.chain = ProcessingChain(m, self.cfg.enhancer,
+                                         self.cfg.roll_correction,
+                                         self.cfg.stabilizer)
+            self.enhancer = self.roll = self.stabilizer = None
+            self.azc = AutoZoomCrop(self.cfg.auto_zoom_crop) \
+                if m.roll_correction_enabled else None
+            return
         self.enhancer = Enhancer(self.cfg.enhancer) if m.enhancer_enabled \
             else None
         self.roll = RollCorrection(self.cfg.roll_correction) \
@@ -122,9 +136,27 @@ class StabilizerApp:
     # -- per-frame chain (vsg.cpp:1246-1313) -------------------------------
     def _process_frame(self, frame: np.ndarray) -> Optional[np.ndarray]:
         with self._lock:                      # snapshot under mutex
+            chain = self.chain
             enhancer, roll, azc = self.enhancer, self.roll, self.azc
             stab, tracker = self.stabilizer, self._tracker
         t = self.metrics.timer
+        if chain is not None:
+            with t.stage("fused_chain"):
+                out = chain.process(frame)
+            if out is None:
+                self.metrics.inc("warmup_frames")
+                return None
+            frame = out
+            if tracker is not None:
+                with t.stage("track"):
+                    dets = tracker.process_frame(frame)
+                    sel = self.tcp.try_get_latest() if self.tcp else None
+                    frame = tracker.draw_detections(
+                        frame, dets, *(sel or (-1, -1)))
+            self.metrics.fps.tick()
+            self.metrics.inc("frames_out")
+            self._frames_out += 1
+            return frame
         if enhancer is not None:
             with t.stage("enhance"):
                 frame = enhancer.enhance(frame)
