@@ -17,7 +17,6 @@ stages are device-side).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -11,7 +11,6 @@ semantics can be tested bitwise-in-float32 on recorded clips.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -21,7 +21,7 @@ cv::RANSAC's hidden global RNG, src/Stabilizer.cpp:564-566).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 class FeatureDetector:
@@ -127,6 +127,7 @@ class StabilizerParams:
     ransac_threshold: float = 5.0    # reproj thresh px (Stabilizer.cpp:566)
     ransac_hypotheses: int = 500     # iterations (Stabilizer.cpp:566)
     redetect_interval: int = 2       # feature re-detect cadence (Stabilizer.cpp:697)
+    motion_model: str = "similarity"  # similarity (4-DOF, reference) | homography (8-DOF log-sl(3))
     seed: int = 0                    # stream PRNG seed for RANSAC
     use_pallas: bool = True          # fused Pallas kernels on TPU where profitable
 

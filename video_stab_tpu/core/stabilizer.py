@@ -29,7 +29,6 @@ Differences from the reference, by design (all documented in DESIGN.md):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -38,7 +37,6 @@ import numpy as np
 
 from video_stab_tpu.core.params import StabilizerParams
 from video_stab_tpu.core.state import (
-    PATH_RING,
     StabilizerState,
     stabilizer_state_init,
 )

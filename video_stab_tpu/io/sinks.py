@@ -16,7 +16,6 @@ Counterparts of the reference's output plumbing:
 from __future__ import annotations
 
 import dataclasses
-import socket
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

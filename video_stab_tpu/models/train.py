@@ -12,7 +12,6 @@ backward, optax update, all under one jit over the mesh.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

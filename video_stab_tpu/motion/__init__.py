@@ -23,6 +23,12 @@ from video_stab_tpu.motion.hf import (
     hf_init,
     hf_apply,
 )
+from video_stab_tpu.motion.homography import (
+    estimate_homography_ransac,
+    exp_homography,
+    log_homography,
+    smooth_homography_path,
+)
 from video_stab_tpu.motion.l1path import l1_smooth_path
 
 __all__ = [
@@ -32,5 +38,7 @@ __all__ = [
     "butterworth_cascade", "adaptive_radius",
     "MotionIntent", "analyze_motion_intent", "intent_correction_scale",
     "l1_smooth_path",
+    "estimate_homography_ransac", "log_homography", "exp_homography",
+    "smooth_homography_path",
     "HFState", "hf_init", "hf_apply",
 ]

@@ -118,11 +118,104 @@ def _smooth_path(params: StabilizerParams, path: jnp.ndarray) -> jnp.ndarray:
     return vpallas.box_filter_centered(path, r)
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _analyze_clip_homography(params: StabilizerParams,
+                             frames_u8: jnp.ndarray,
+                             key: jax.Array) -> jnp.ndarray:
+    """(T, H, W, 3) -> (T, 3, 3) forward log-homographies (last = 0).
+
+    Same scan as the similarity path, but the frame-to-frame motion is an
+    8-DOF homography mapped into sl(3) (motion/homography.py; the
+    log-homography model of arxiv 2011.08144). Coordinates are scaled from
+    analysis to full resolution inside the conjugation S H S^-1."""
+    from video_stab_tpu.motion.homography import (
+        estimate_homography_ransac,
+        log_homography,
+    )
+
+    grays = jax.vmap(lambda f: _analysis_gray(params, f.astype(jnp.float32))
+                     )(frames_u8)
+    pts0, mask0 = good_features_to_track(
+        grays[0], max_corners=params.max_corners,
+        quality_level=params.quality_level,
+        min_distance=params.min_distance, block_size=params.block_size)
+
+    sx = frames_u8.shape[2] / params.analysis_width
+    sy = frames_u8.shape[1] / params.analysis_height
+    s_mat = jnp.diag(jnp.asarray([sx, sy, 1.0], jnp.float32))
+    s_inv = jnp.diag(jnp.asarray([1.0 / sx, 1.0 / sy, 1.0], jnp.float32))
+
+    def step(carry, gray):
+        prev_gray, pts, mask, key, i = carry
+        curr_pts, status, _ = lk_track(
+            prev_gray, gray, pts, mask, win=params.lk_window,
+            max_level=params.lk_levels, iters=params.lk_iters)
+        valid = mask & status
+        key, sub = jax.random.split(key)
+        h_mat, _ok, _inl = estimate_homography_ransac(
+            pts, curr_pts, valid, sub, threshold=params.ransac_threshold,
+            n_hypotheses=params.ransac_hypotheses)
+        log_h = log_homography(s_mat @ h_mat @ s_inv)
+
+        def redetect(_):
+            return good_features_to_track(
+                gray, max_corners=params.max_corners, quality_level=0.02,
+                min_distance=15.0, block_size=3)
+
+        def keep(_):
+            return curr_pts, valid
+
+        pts, mask = jax.lax.cond(
+            (i % params.redetect_interval) == 0, redetect, keep, None)
+        return (gray, pts, mask, key, i + 1), log_h
+
+    (_, _, _, _, _), logs = jax.lax.scan(
+        step, (grays[0], pts0, mask0, key, jnp.int32(1)), grays[1:])
+    return jnp.concatenate([logs, jnp.zeros((1, 3, 3), jnp.float32)], axis=0)
+
+
+def _stabilize_clip_homography(frames: np.ndarray,
+                               params: StabilizerParams) -> np.ndarray:
+    from video_stab_tpu.motion.homography import smooth_homography_path
+
+    t, h, w = frames.shape[:3]
+    dev_frames = jnp.asarray(frames)
+    logs = _analyze_clip_homography(params, dev_frames,
+                                    jax.random.PRNGKey(params.seed))
+    corr_h = smooth_homography_path(
+        logs, lambda path: _smooth_path(params, path))
+
+    from video_stab_tpu.ops.warp import warp_perspective
+
+    def warp_chunk(chunk_u8, hs):
+        def one(frame_u8, hm):
+            f = frame_u8.astype(jnp.float32)
+            out = warp_perspective(f, hm, border_mode=BORDER_CONSTANT)
+            return saturate_u8(out)
+        return jax.jit(jax.vmap(one))(chunk_u8, hs)
+
+    outs = []
+    for start in range(0, t, WARP_CHUNK):
+        end = min(start + WARP_CHUNK, t)
+        chunk = dev_frames[start:end]
+        hs = corr_h[start:end]
+        pad = WARP_CHUNK - (end - start)
+        if pad:
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            hs = jnp.pad(hs, ((0, pad), (0, 0), (0, 0)))
+            hs = hs.at[end - start:].set(jnp.eye(3))
+        res = warp_chunk(chunk, hs)
+        outs.append(np.asarray(res[:end - start]))
+    return np.concatenate(outs, axis=0)
+
+
 def stabilize_clip(frames: np.ndarray,
                    params: StabilizerParams = StabilizerParams(),
                    ) -> np.ndarray:
     """Batch-stabilize a whole clip. frames: (T, H, W, 3) uint8 BGR."""
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if params.motion_model == "homography":
+        return _stabilize_clip_homography(frames, params)
     t, h, w = frames.shape[:3]
     dev_frames = jnp.asarray(frames)
 

@@ -147,6 +147,31 @@ def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
     return sample_bilinear(img, map_x, map_y, border_mode, border_value)
 
 
+def warp_perspective(img: jnp.ndarray, h_mat: jnp.ndarray,
+                     out_h: int | None = None, out_w: int | None = None,
+                     border_mode: int = BORDER_CONSTANT,
+                     border_value: float = 0.0,
+                     inverse_map: bool = False) -> jnp.ndarray:
+    """cv2.warpPerspective: dst(x,y) = src(H^{-1}(x,y)), bilinear.
+
+    h_mat: (3, 3) homography (dst <- src forward map unless inverse_map).
+    Reference counterpart: the homography serving config (BASELINE.json
+    config 3); the reference itself is affine-only.
+    """
+    out_h = out_h if out_h is not None else img.shape[0]
+    out_w = out_w if out_w is not None else img.shape[1]
+    hinv = h_mat if inverse_map else jnp.linalg.inv(h_mat)
+    ys = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    denom = hinv[2, 0] * xs + hinv[2, 1] * ys + hinv[2, 2]
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    sx = (hinv[0, 0] * xs + hinv[0, 1] * ys + hinv[0, 2]) / denom
+    sy = (hinv[1, 0] * xs + hinv[1, 1] * ys + hinv[1, 2]) / denom
+    sx = jnp.broadcast_to(sx, (out_h, out_w))
+    sy = jnp.broadcast_to(sy, (out_h, out_w))
+    return sample_bilinear(img, sx, sy, border_mode, border_value)
+
+
 def rotation_matrix_2d(center_x, center_y, angle_deg, scale=1.0) -> jnp.ndarray:
     """cv2.getRotationMatrix2D: positive angle rotates CCW (y-down image coords).
 

@@ -15,7 +15,7 @@ import logging
 import sys
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 
 def get_logger(tag: str, enabled: bool = True,
