@@ -122,6 +122,26 @@ class TestStabilizer:
         assert len(outs) == 8
         assert all(o.dtype == np.uint8 for o in outs)
 
+    def test_streaming_homography_reduces_jitter(self):
+        rng = np.random.default_rng(7)
+        world = (cv2.GaussianBlur(
+            rng.random((200, 260)).astype(np.float32), (0, 0), 2) * 255)
+        frames = []
+        for _ in range(14):
+            dx, dy = rng.normal(0, 2, 2)
+            p1, p2 = rng.normal(0, 2e-4, 2)
+            hm = np.float32([[1, 0, -(40 + dx)], [0, 1, -(40 + dy)],
+                             [p1, p2, 1.0]])
+            f = cv2.warpPerspective(world, hm, (96, 64))
+            frames.append(np.repeat(f[:, :, None], 3, 2).astype(np.uint8))
+        st = Stabilizer(StabilizerParams(
+            smoothing_radius=5, motion_model="homography",
+            analysis_width=96, analysis_height=64, max_corners=48,
+            ransac_hypotheses=64))
+        outs = run_clip(st, frames)
+        assert len(outs) == len(frames)
+        assert jitter_energy(outs[2:]) < jitter_energy(frames) * 0.5
+
     def test_virtual_canvas_runs(self, jittered_clip):
         frames, _ = jittered_clip
         st = Stabilizer(StabilizerParams(

@@ -150,7 +150,34 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
             lambda g: g,
             gray)
 
-    if params.deep_stabilization:
+    if params.motion_model == "homography":
+        # 8-DOF streaming path: per-frame homography -> sl(3) log, pushed
+        # into the (RING, 9) trajectory rings (motion/homography.py; the
+        # log-homography model of arxiv 2011.08144). Intent scaling and the
+        # drone HF chain are similarity-space heuristics and do not apply.
+        from video_stab_tpu.motion.homography import (
+            estimate_homography_ransac,
+            log_homography,
+        )
+
+        curr_pts, status, _err = lk_track(
+            state.prev_gray, gray, state.prev_pts, state.prev_mask,
+            win=params.lk_window, max_level=params.lk_levels,
+            iters=params.lk_iters)
+        valid = state.prev_mask & status
+        key, sub = jax.random.split(state.key)
+        h_mat, est_ok, inliers = estimate_homography_ransac(
+            state.prev_pts, curr_pts, valid, sub,
+            threshold=params.ransac_threshold,
+            n_hypotheses=params.ransac_hypotheses)
+        # Conjugate analysis-resolution H to full resolution.
+        sxf = frame_u8.shape[1] / params.analysis_width
+        syf = frame_u8.shape[0] / params.analysis_height
+        s_mat = jnp.diag(jnp.asarray([sxf, syf, 1.0], jnp.float32))
+        s_inv = jnp.diag(jnp.asarray([1.0 / sxf, 1.0 / syf, 1.0],
+                                     jnp.float32))
+        raw = log_homography(s_mat @ h_mat @ s_inv).reshape(9)
+    elif params.deep_stabilization:
         # Learned motion estimator in place of LK+RANSAC — the
         # deepStabilization/modelPath slot (Stabilizer.h:139-140,
         # applyDeepStabilization declared but never shipped in the
@@ -186,7 +213,7 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
 
     # Drone high-frequency vibration chain (Stabilizer.cpp:583-588).
     hf = state.hf
-    if params.drone_high_freq_mode:
+    if params.drone_high_freq_mode and params.motion_model != "homography":
         hf, raw = hf_apply(
             hf, raw,
             dead_zone_threshold=params.hf_dead_zone_threshold,
@@ -199,7 +226,7 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
     # Push raw transform + cumulative path into the rings (Stabilizer.cpp:680-687).
     n = state.n_path
     prev_path = jnp.where(n > 0, ring_get(state.path_ring, n - 1),
-                          jnp.zeros(3, jnp.float32))
+                          jnp.zeros_like(raw))
     new_path = jnp.where(n > 0, prev_path + raw, raw)
     trans_ring = ring_push(state.trans_ring, n, raw)
     path_ring = ring_push(state.path_ring, n, new_path)
@@ -309,22 +336,41 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
     e = state.emit_idx
     has_transform = e < state.n_path
 
+    n_ch = state.trans_ring.shape[1]
     raw = jnp.where(has_transform, ring_get(state.trans_ring, e),
-                    jnp.zeros(3, jnp.float32))
+                    jnp.zeros(n_ch, jnp.float32))
     path_e = ring_get(state.path_ring, jnp.minimum(e, state.n_path - 1))
 
     state, smoothed = _smoothed_at_emit(params, state, jnp.minimum(e, state.n_path - 1))
     diff = smoothed - path_e
 
-    # Motion-intent correction scaling (Stabilizer.cpp:854-888).
-    intent = analyze_motion_intent(state.trans_ring, state.n_path, raw, e)
-    scale = intent_correction_scale(intent, raw, e)
-    diff = diff * scale
+    if params.motion_model == "homography":
+        # sl(3) correction -> SL(3) warp; intent scaling is a
+        # similarity-space heuristic, skipped here.
+        from video_stab_tpu.motion.homography import exp_homography
+        t_smooth = jnp.where(has_transform, raw + diff,
+                             jnp.zeros(n_ch, jnp.float32))
+        h_corr = exp_homography(t_smooth.reshape(3, 3))
+        t_mat = None
+    else:
+        # Motion-intent correction scaling (Stabilizer.cpp:854-888).
+        intent = analyze_motion_intent(state.trans_ring, state.n_path, raw, e)
+        scale = intent_correction_scale(intent, raw, e)
+        diff = diff * scale
 
-    t_smooth = jnp.where(has_transform, raw + diff, jnp.zeros(3, jnp.float32))
-    dx, dy = t_smooth[0], t_smooth[1]
-    da = jnp.where(params.horizon_lock, 0.0, t_smooth[2])  # (897-899)
-    t_mat = similarity_matrix(dx, dy, da)
+        t_smooth = jnp.where(has_transform, raw + diff,
+                             jnp.zeros(3, jnp.float32))
+        dx, dy = t_smooth[0], t_smooth[1]
+        da = jnp.where(params.horizon_lock, 0.0, t_smooth[2])  # (897-899)
+        t_mat = similarity_matrix(dx, dy, da)
+        h_corr = None
+
+    def _warp(image):
+        if params.motion_model == "homography":
+            from video_stab_tpu.ops.warp import warp_perspective
+            return warp_perspective(image, h_corr,
+                                    border_mode=BORDER_CONSTANT)
+        return warp_affine(image, t_mat, border_mode=BORDER_CONSTANT)
 
     q = state.frame_ring.shape[0]
     frame = state.frame_ring[e % q].astype(jnp.float32)
@@ -365,7 +411,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
             blended = alpha * history + (1.0 - alpha) * padded
             padded = jnp.where(is_border3, blended, padded)
             fade_count = fade_count + 1
-        stabilized = warp_affine(padded, t_mat, border_mode=BORDER_CONSTANT)
+        stabilized = _warp(padded)
         if params.border_type == "fade":
             # Post-warp history update at rate 0.1 in border regions
             # (Stabilizer.cpp:1070-1106).
@@ -375,7 +421,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
             fade_history = new_hist
         out = stabilized
     else:
-        stabilized = warp_affine(frame, t_mat, border_mode=BORDER_CONSTANT)
+        stabilized = _warp(frame)
         out = stabilized
 
     if params.crop_n_zoom and b > 0:
@@ -386,7 +432,8 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         out = resize_bilinear(cropped, h, w)
 
     canvas, canvas_weight = state.canvas, state.canvas_weight
-    if params.enable_virtual_canvas and not params.crop_n_zoom:
+    if params.enable_virtual_canvas and not params.crop_n_zoom \
+            and params.motion_model != "homography":
         # Virtual canvas runs on the RAW queued frame with the stabilizing
         # transform (Stabilizer.cpp:1130-1134), replacing the plain warp
         # output. See core/canvas.py for the TPU reformulation.

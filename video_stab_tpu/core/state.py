@@ -74,12 +74,20 @@ class StabilizerState(NamedTuple):
     deepstab: object = ()
 
 
+def motion_channels(params) -> int:
+    """Trajectory channel count: 3 for the similarity model (dx, dy, da),
+    9 for the homography model (flattened sl(3) log-homography)."""
+    return 9 if getattr(params, "motion_model", "similarity") == \
+        "homography" else 3
+
+
 def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
     """Allocate the state pytree for a (height, width) BGR stream."""
     ha, wa = params.analysis_height, params.analysis_width
     n = params.max_corners
     q = params.effective_radius + 1
     b = params.border_pad
+    c = motion_channels(params)
     if params.border_type == "fade" and b > 0 and not params.crop_n_zoom:
         fade_shape = (height + 2 * b, width + 2 * b, 3)
     else:
@@ -93,15 +101,15 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         prev_gray=jnp.zeros((ha, wa), jnp.float32),
         prev_pts=jnp.zeros((n, 2), jnp.float32),
         prev_mask=jnp.zeros((n,), bool),
-        trans_ring=jnp.zeros((PATH_RING, 3), jnp.float32),
-        path_ring=jnp.zeros((PATH_RING, 3), jnp.float32),
+        trans_ring=jnp.zeros((PATH_RING, c), jnp.float32),
+        path_ring=jnp.zeros((PATH_RING, c), jnp.float32),
         n_path=jnp.int32(0),
         frame_ring=jnp.zeros((q, height, width, 3), jnp.uint8),
         n_frames=jnp.int32(0),
         emit_idx=jnp.int32(0),
-        kalman_x=jnp.zeros((2, 3), jnp.float32),
-        kalman_p=jnp.zeros((2, 2, 3), jnp.float32),
-        butter_state=jnp.zeros((4, 3), jnp.float32),
+        kalman_x=jnp.zeros((2, c), jnp.float32),
+        kalman_p=jnp.zeros((2, 2, c), jnp.float32),
+        butter_state=jnp.zeros((4, c), jnp.float32),
         hf=hf_init(),
         fade_history=jnp.zeros(fade_shape, jnp.float32),
         fade_count=jnp.int32(0),
