@@ -321,3 +321,22 @@ class TestProcessingChain:
             assert (a is None) == (b is None)
             if a is not None:
                 assert np.array_equal(a, b)
+
+
+    def test_pipelined_mode_identical(self, jittered_clip):
+        frames, _ = jittered_clip
+        import dataclasses
+        from video_stab_tpu.core.chain import ProcessingChain
+        from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                                RollCorrectionParams)
+        kw = dict(mode=ModeParams(stabilizer_enabled=True),
+                  enhancer=EnhancerParams(), roll=RollCorrectionParams(),
+                  stabilizer=StabilizerParams(smoothing_radius=5, **SMALL))
+        a = ProcessingChain(**kw)
+        b = ProcessingChain(**kw, pipelined=True)
+        outs_a = [o for f in frames[:10] if (o := a.process(f)) is not None]
+        outs_b = [o for f in frames[:10] if (o := b.process(f)) is not None]
+        if (d := b.drain()) is not None:
+            outs_b.append(d)
+        assert len(outs_a) == len(outs_b)
+        assert all(np.array_equal(x, y) for x, y in zip(outs_a, outs_b))

@@ -129,12 +129,22 @@ chain_step = jax.jit(chain_step_fn, static_argnums=0, donate_argnums=1)
 
 class ProcessingChain:
     """Streaming wrapper over the fused chain with the Stabilizer-style
-    push API: returns None during the stabilizer warm-up, frames after."""
+    push API: returns None during the stabilizer warm-up, frames after.
+
+    ``pipelined=True`` adds one frame of latency to overlap the
+    device->host transfer of frame i-1 with the compute of frame i (the
+    reference's three-CUDA-stream trick, Stabilizer.cpp:100-116, expressed
+    through XLA's async dispatch): process() dispatches the current step,
+    then materializes the PREVIOUS step's output while the current one runs.
+    """
 
     def __init__(self, mode: ModeParams, enhancer: EnhancerParams,
-                 roll: RollCorrectionParams, stabilizer: StabilizerParams):
+                 roll: RollCorrectionParams, stabilizer: StabilizerParams,
+                 pipelined: bool = False):
         self.params = ChainParams(mode=mode, enhancer=enhancer, roll=roll,
                                   stabilizer=stabilizer)
+        self.pipelined = pipelined
+        self._pending = None
         self._state: Optional[ChainState] = None
         self._shape = None
         self._frames_in = 0
@@ -160,9 +170,20 @@ class ProcessingChain:
                 return None
         self._state, out = chain_step(p, self._state, frame)
         self._frames_in += 1
-        return np.asarray(out)
+        if not self.pipelined:
+            return np.asarray(out)
+        # Pipelined: hand back the previous frame's output; its transfer
+        # overlaps this frame's (already dispatched, async) compute.
+        prev, self._pending = self._pending, out
+        return np.asarray(prev) if prev is not None else None
+
+    def drain(self) -> Optional[np.ndarray]:
+        """Pipelined mode: fetch the final in-flight output."""
+        prev, self._pending = self._pending, None
+        return np.asarray(prev) if prev is not None else None
 
     def clean(self):
         self._state = None
         self._shape = None
         self._frames_in = 0
+        self._pending = None
