@@ -118,7 +118,21 @@ def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,
     initial GFTT detection + queue the frame."""
     frame_f32 = frame_u8.astype(jnp.float32)
     gray = _analysis_gray(params, frame_f32)
-    roi = jnp.asarray(params.roi, jnp.int32) if params.use_roi else None
+    roi = None
+    if params.use_roi:
+        if params.roi[2] > 0 and params.roi[3] > 0:
+            # User ROI is in full-frame pixels; scale to analysis space.
+            sx = params.analysis_width / frame_u8.shape[1]
+            sy = params.analysis_height / frame_u8.shape[0]
+            roi = jnp.asarray([int(params.roi[0] * sx),
+                               int(params.roi[1] * sy),
+                               int(params.roi[2] * sx),
+                               int(params.roi[3] * sy)], jnp.int32)
+        else:
+            # Default center-60% ROI (calculateROI, Stabilizer.cpp:1529-1559).
+            wa, ha = params.analysis_width, params.analysis_height
+            roi = jnp.asarray([wa // 5, ha // 5, wa * 3 // 5, ha * 3 // 5],
+                              jnp.int32)
     pts, mask = _detect_features(params, gray, roi=roi)
     q = state.frame_ring.shape[0]
     return state._replace(
