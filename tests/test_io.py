@@ -273,3 +273,55 @@ class TestGraphDaemon:
         finally:
             d.stop()
         assert not d.is_healthy()
+
+
+class TestRemoteFrameRouting:
+    def test_fan_in_two_streams(self):
+        from video_stab_tpu.io.remote import RemoteFrameServer, RemoteFrameSink
+        srv = RemoteFrameServer(port=15940).start()
+        try:
+            s0 = RemoteFrameSink("127.0.0.1", 15940, stream_id=0)
+            s1 = RemoteFrameSink("127.0.0.1", 15940, stream_id=1)
+            f0 = np.full((32, 40, 3), 50, np.uint8)
+            f1 = np.full((32, 40, 3), 200, np.uint8)
+            for _ in range(3):
+                s0.write(f0)
+                s1.write(f1)
+            batch = srv.read_batch([0, 1], timeout=3.0)
+            assert batch is not None and batch.shape == (2, 32, 40, 3)
+            # JPEG round-trip keeps flat frames near their value
+            assert abs(int(batch[0].mean()) - 50) < 5
+            assert abs(int(batch[1].mean()) - 200) < 5
+            # stalled stream repeats its last frame
+            s0.write(f0)
+            batch2 = srv.read_batch([0, 1], timeout=0.3)
+            assert batch2 is not None
+            s0.close(); s1.close()
+        finally:
+            srv.stop()
+
+
+class TestAppWithTracker:
+    def test_fused_app_with_tracker_smoke(self, tmp_path):
+        import dataclasses
+        from video_stab_tpu.core.params import ModeParams, StabilizerParams
+        from video_stab_tpu.io.runner import StabilizerApp
+        from video_stab_tpu.models.tracker import TrackerParams
+        from video_stab_tpu.io.sinks import NullSink
+
+        cfg = AppConfig(
+            video_source="synthetic:128x96",
+            mode=ModeParams(stabilizer_enabled=True, tracker_enabled=True),
+            stabilizer=StabilizerParams(
+                smoothing_radius=5, analysis_width=128, analysis_height=96,
+                max_corners=32, ransac_hypotheses=32),
+            tracker=TrackerParams(processing_width=96, processing_height=64,
+                                  confidence_threshold=0.99))
+        sink = NullSink()
+        app = StabilizerApp(cfg, sink=sink)
+        app.start()
+        deadline = time.monotonic() + 120.0   # first compile dominates
+        while sink.count < 3 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        app.stop()
+        assert sink.count >= 3, sink.count

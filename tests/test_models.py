@@ -124,3 +124,35 @@ class TestDeepStab:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestBundledDeepStab:
+    def test_bundled_weights_stabilize(self):
+        import cv2
+        from video_stab_tpu import Stabilizer, StabilizerParams
+        rng = np.random.default_rng(0)
+        world = (cv2.GaussianBlur(
+            rng.random((260, 320)).astype(np.float32), (0, 0), 2) * 255)
+        st = Stabilizer(StabilizerParams(
+            smoothing_radius=6, analysis_width=160, analysis_height=96,
+            deep_stabilization=True))
+        frames, outs = [], []
+        for _ in range(14):
+            dx, dy = rng.normal(0, 2, 2)
+            m = np.float32([[1, 0, -(40 + dx)], [0, 1, -(40 + dy)]])
+            f = cv2.warpAffine(world, m, (160, 96))
+            fr = np.repeat(f[:, :, None], 3, 2).astype(np.uint8)
+            frames.append(fr)
+            o = st.stabilize(fr)
+            if o is not None:
+                outs.append(o)
+        while (o := st.flush()) is not None:
+            outs.append(o)
+
+        def je(fr):
+            d = [np.abs(a[12:-12, 12:-12].astype(np.float32) -
+                        b[12:-12, 12:-12].astype(np.float32)).mean()
+                 for a, b in zip(fr[:-1], fr[1:])]
+            return float(np.mean(d))
+
+        assert je(outs[2:]) < je(frames) * 0.7

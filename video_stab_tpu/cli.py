@@ -187,6 +187,47 @@ def cmd_train_detector(args) -> int:
     return 0 if losses[-1] < losses[0] else 1
 
 
+def cmd_train_deepstab(args) -> int:
+    _quiet_cv2()
+    from video_stab_tpu.models.train import train_deepstab
+
+    _, _, losses = train_deepstab(n_steps=args.steps, batch=args.batch,
+                                  log_every=max(args.steps // 5, 1),
+                                  save_path=args.out)
+    print(json.dumps({"steps": args.steps, "first_loss": round(losses[0], 4),
+                      "last_loss": round(losses[-1], 4),
+                      "saved": args.out or None}))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Capture a jax.profiler trace of the steady-state chain step
+    (view with TensorBoard / xprof)."""
+    import numpy as np
+
+    import jax
+
+    from video_stab_tpu.core.params import StabilizerParams
+    from video_stab_tpu.core.stabilizer import stabilizer_step
+    from video_stab_tpu.core.state import stabilizer_state_init
+
+    p = StabilizerParams(smoothing_radius=15)
+    st = stabilizer_state_init(p, args.height, args.width)
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(rng.integers(
+        0, 255, (args.height, args.width, 3), dtype=np.uint8))
+    for _ in range(p.effective_radius + 2):   # compile + warm
+        st, out = stabilizer_step(p, st, frame)
+    jax.block_until_ready(out)
+    jax.profiler.start_trace(args.logdir)
+    for _ in range(args.frames):
+        st, out = stabilizer_step(p, st, frame)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    print(json.dumps({"trace": args.logdir, "frames": args.frames}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vstab",
                                 description="TPU-native video stabilization")
@@ -232,6 +273,20 @@ def main(argv=None) -> int:
     pd.add_argument("--steps", type=int, default=30)
     pd.add_argument("--batch", type=int, default=8)
     pd.set_defaults(fn=cmd_train_detector)
+
+    pds = sub.add_parser("train-deepstab",
+                         help="self-supervised deepstab training")
+    pds.add_argument("--steps", type=int, default=200)
+    pds.add_argument("--batch", type=int, default=16)
+    pds.add_argument("--out", default="")
+    pds.set_defaults(fn=cmd_train_deepstab)
+
+    pp = sub.add_parser("profile", help="capture a jax.profiler trace")
+    pp.add_argument("--logdir", default="/tmp/vstab_trace")
+    pp.add_argument("--frames", type=int, default=30)
+    pp.add_argument("--width", type=int, default=1920)
+    pp.add_argument("--height", type=int, default=1080)
+    pp.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -519,16 +519,27 @@ class Stabilizer:
         if self._state is None:
             self._state = stabilizer_state_init(self.params, h, w)
             if self.params.deep_stabilization:
+                import os
+
                 from video_stab_tpu.models.deepstab import (
                     create_deepstab,
                     load_deepstab,
                 )
                 p = self.params
-                if p.model_path:
+                bundled = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(
+                        __file__))), "models", "weights",
+                    "deepstab_96x160.msgpack")
+                path = p.model_path or (
+                    bundled if os.path.exists(bundled) else "")
+                if path:
+                    # Fully-convolutional + global pool: the weights are
+                    # resolution-agnostic, so the bundled 96x160-trained
+                    # net serves any analysis size.
                     weights = load_deepstab(
-                        p.model_path, height=p.analysis_height,
+                        path, height=p.analysis_height,
                         width=p.analysis_width)
-                else:   # untrained network (testing/bring-up)
+                else:   # untrained network (bring-up only)
                     _, weights = create_deepstab(
                         height=p.analysis_height, width=p.analysis_width)
                 self._state = self._state._replace(deepstab=weights)

@@ -28,6 +28,7 @@ from video_stab_tpu.io.control import (
     TcpReciever,
     apply_rest_update,
 )
+from video_stab_tpu.io.remote import RemoteFrameServer, RemoteFrameSink
 from video_stab_tpu.io.runner import StabilizerApp, run_app
 
 __all__ = [
@@ -38,5 +39,6 @@ __all__ = [
     "Channel", "ChannelBridge", "Pipeline", "StreamGraph",
     "GraphDaemonClient",
     "TcpReceiver", "TcpReciever", "ConfigRestServer", "apply_rest_update",
+    "RemoteFrameSink", "RemoteFrameServer",
     "StabilizerApp", "run_app",
 ]
