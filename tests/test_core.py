@@ -150,6 +150,27 @@ class TestStabilizer:
         outs = run_clip(st, frames[:8])
         assert outs[0].shape == frames[0].shape
 
+    def test_ring_wraparound_long_run(self):
+        # 300 frames > PATH_RING=128: smoothing quality must survive the
+        # trajectory ring wrapping (absolute-index modulo addressing).
+        rng = np.random.default_rng(0)
+        world = (cv2.GaussianBlur(
+            rng.random((160, 220)).astype(np.float32), (0, 0), 2) * 255)
+        st = Stabilizer(StabilizerParams(smoothing_radius=6, **SMALL))
+        frames, outs = [], []
+        for _ in range(300):
+            dx, dy = rng.normal(0, 2, 2)
+            m = np.float32([[1, 0, -(30 + dx)], [0, 1, -(30 + dy)]])
+            f = cv2.warpAffine(world, m, (128, 96))
+            fr = np.repeat(f[:, :, None], 3, 2).astype(np.uint8)
+            frames.append(fr)
+            o = st.stabilize(fr)
+            if o is not None:
+                outs.append(o)
+        late = jitter_energy(outs[200:290])
+        raw = jitter_energy(frames[200:290])
+        assert late < raw * 0.5, (late, raw)
+
     def test_state_roundtrip(self, jittered_clip):
         frames, _ = jittered_clip
         p = StabilizerParams(smoothing_radius=6, **SMALL)

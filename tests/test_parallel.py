@@ -1,0 +1,54 @@
+"""Multi-stream serving tests (virtual 8-device mesh via conftest)."""
+
+import numpy as np
+
+from video_stab_tpu.core.params import StabilizerParams
+from video_stab_tpu.parallel import MultiStreamStabilizer, make_stream_mesh
+
+SMALL = StabilizerParams(smoothing_radius=5, analysis_width=64,
+                         analysis_height=48, max_corners=32,
+                         ransac_hypotheses=32)
+
+
+def _batch(rng, n=4):
+    return rng.integers(0, 255, (n, 48, 64, 3), dtype=np.uint8)
+
+
+class TestMultiStream:
+    def test_batched_serving_warmup_and_emit(self):
+        ms = MultiStreamStabilizer(SMALL, n_streams=4)
+        rng = np.random.default_rng(0)
+        outs = 0
+        for _ in range(8):
+            out = ms.stabilize_batch(_batch(rng))
+            if out is not None:
+                assert out.shape == (4, 48, 64, 3)
+                outs += 1
+        assert outs == 4   # emission from tick radius-1 on
+
+    def test_mesh_sharded_serving(self):
+        mesh = make_stream_mesh()
+        ms = MultiStreamStabilizer(SMALL, n_streams=8, mesh=mesh)
+        rng = np.random.default_rng(1)
+        out = None
+        for _ in range(6):
+            out = ms.stabilize_batch(
+                rng.integers(0, 255, (8, 48, 64, 3), dtype=np.uint8))
+        assert out is not None and out.shape == (8, 48, 64, 3)
+
+    def test_reset_stream_rewarmup_isolated(self):
+        ms = MultiStreamStabilizer(SMALL, n_streams=4)
+        rng = np.random.default_rng(2)
+        for _ in range(7):
+            ms.stabilize_batch(_batch(rng))
+        assert ms.last_valid.all()
+        ms.reset_stream(2)
+        invalid_ticks = 0
+        for _ in range(6):
+            ms.stabilize_batch(_batch(rng))
+            if not ms.last_valid[2]:
+                invalid_ticks += 1
+            # other streams keep emitting throughout
+            assert ms.last_valid[[0, 1, 3]].all()
+        assert invalid_ticks == SMALL.effective_radius - 1
+        assert ms.last_valid.all()

@@ -468,6 +468,34 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
 
 
 
+def stabilizer_emit_gated_fn(params: StabilizerParams, state: StabilizerState,
+                             ) -> tuple[StabilizerState, jnp.ndarray,
+                                        jnp.ndarray]:
+    """Emit variant with the warm-up gate INSIDE the step: when the stream's
+    look-ahead queue holds fewer than effective_radius frames, the emission
+    cursor (and every other emission-mutated field) is held back and `ready`
+    is False. Batched multi-stream serving vmaps this so each stream warms
+    up independently (e.g. after MultiStreamStabilizer.reset_stream) —
+    host-side gating can only gate the whole batch at once."""
+    ready = (state.n_frames - state.emit_idx) >= params.effective_radius
+    new_state, out = stabilizer_emit_step_fn(params, state)
+
+    def sel(a, b):
+        return jnp.where(ready, a, b)
+
+    new_state = new_state._replace(
+        emit_idx=sel(new_state.emit_idx, state.emit_idx),
+        kalman_x=sel(new_state.kalman_x, state.kalman_x),
+        kalman_p=sel(new_state.kalman_p, state.kalman_p),
+        butter_state=sel(new_state.butter_state, state.butter_state),
+        fade_history=sel(new_state.fade_history, state.fade_history),
+        fade_count=sel(new_state.fade_count, state.fade_count),
+        canvas=sel(new_state.canvas, state.canvas),
+        canvas_weight=sel(new_state.canvas_weight, state.canvas_weight),
+    )
+    return new_state, out, ready
+
+
 def stabilizer_step_fn(params: StabilizerParams, state: StabilizerState,
                        frame_u8: jnp.ndarray,
                        ) -> tuple[StabilizerState, jnp.ndarray]:

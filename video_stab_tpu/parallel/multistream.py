@@ -35,7 +35,7 @@ from video_stab_tpu.core.params import StabilizerParams
 from video_stab_tpu.core.state import StabilizerState, stabilizer_state_init
 from video_stab_tpu.core.stabilizer import (
     stabilizer_analyze_step_fn,
-    stabilizer_emit_step_fn,
+    stabilizer_emit_gated_fn,
     stabilizer_init_step_fn,
 )
 
@@ -95,8 +95,9 @@ class MultiStreamStabilizer:
             jax.vmap(functools.partial(stabilizer_analyze_step_fn, p)),
             donate_argnums=0)
         self._emit_b = jax.jit(
-            jax.vmap(functools.partial(stabilizer_emit_step_fn, p)),
+            jax.vmap(functools.partial(stabilizer_emit_gated_fn, p)),
             donate_argnums=0)
+        self.last_valid: Optional[np.ndarray] = None
 
     def _ensure_state(self, frames: np.ndarray) -> None:
         n, h, w = frames.shape[:3]
@@ -126,20 +127,40 @@ class MultiStreamStabilizer:
             return None
         self._state, self.last_metrics = self._analyze_b(self._state, fdev)
         self._frames_in += 1
-        queued = self._frames_in - int(self._state.emit_idx[0])
-        if queued < self.params.effective_radius:
-            return None
-        self._state, out = self._emit_b(self._state)
+        self._state, out, ready = self._emit_b(self._state)
+        self.last_valid = np.asarray(ready)
+        if not self.last_valid.any():
+            return None       # whole batch still warming up
         return np.asarray(out)
 
     def flush_batch(self) -> Optional[np.ndarray]:
         if self._state is None:
             return None
-        queued = self._frames_in - int(self._state.emit_idx[0])
+        queued = self._frames_in - int(np.min(np.asarray(self._state.emit_idx)))
         if queued <= 0:
             return None
-        self._state, out = self._emit_b(self._state)
+        self._state, out, ready = self._emit_b(self._state)
+        self.last_valid = np.asarray(ready)
+        if not self.last_valid.any():
+            return None
         return np.asarray(out)
+
+    def reset_stream(self, i: int) -> None:
+        """Recycle slot i for a new stream (camera reconnect / swap): its
+        state slice is re-initialized; the other streams are untouched. The
+        fresh stream re-warms its own look-ahead implicitly (its queue
+        indices restart while the batch keeps stepping)."""
+        if self._state is None:
+            return
+        h, w = self._shape
+        fresh = stabilizer_state_init(
+            dataclasses.replace(self.params, seed=self.params.seed + i),
+            h, w)
+
+        def put(batched, leaf):
+            return batched.at[i].set(leaf)
+
+        self._state = jax.tree_util.tree_map(put, self._state, fresh)
 
     def clean(self) -> None:
         self._state = None
