@@ -217,11 +217,11 @@ def cmd_profile(args) -> int:
     frame = jax.device_put(rng.integers(
         0, 255, (args.height, args.width, 3), dtype=np.uint8))
     for _ in range(p.effective_radius + 2):   # compile + warm
-        st, out = stabilizer_step(p, st, frame)
+        st, out, _ready = stabilizer_step(p, st, frame)
     jax.block_until_ready(out)
     jax.profiler.start_trace(args.logdir)
     for _ in range(args.frames):
-        st, out = stabilizer_step(p, st, frame)
+        st, out, _ready = stabilizer_step(p, st, frame)
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
     print(json.dumps({"trace": args.logdir, "frames": args.frames}))

@@ -498,13 +498,15 @@ def stabilizer_emit_gated_fn(params: StabilizerParams, state: StabilizerState,
 
 def stabilizer_step_fn(params: StabilizerParams, state: StabilizerState,
                        frame_u8: jnp.ndarray,
-                       ) -> tuple[StabilizerState, jnp.ndarray]:
+                       ) -> tuple[StabilizerState, jnp.ndarray, jnp.ndarray]:
     """Steady-state combined step: analyze the incoming frame AND emit the
     oldest queued frame in one dispatch (one XLA program per frame — the
-    production serving path once the look-ahead queue is warm). During
-    warm-up the emitted frame is meaningless and the caller discards it."""
+    production serving path). Emission is internally gated on the look-ahead
+    queue (stabilizer_emit_gated_fn), so warm-up is handled in-graph:
+    returns (state, frame, ready) where `ready` is False until the queue
+    holds effective_radius frames (the emitted frame is then meaningless)."""
     state, _metrics = stabilizer_analyze_step_fn(params, state, frame_u8)
-    return stabilizer_emit_step_fn(params, state)
+    return stabilizer_emit_gated_fn(params, state)
 
 
 # Jitted aliases (static params, donated state) — the streaming wrappers
@@ -545,7 +547,11 @@ class Stabilizer:
     def _ensure_state(self, frame: np.ndarray) -> None:
         h, w = frame.shape[:2]
         if self._state is None:
-            self._state = stabilizer_state_init(self.params, h, w)
+            # Commit the state to the device: uncommitted pytrees can end up
+            # re-streamed per call by some runtimes, turning every donated
+            # step into a host round-trip.
+            self._state = jax.device_put(
+                stabilizer_state_init(self.params, h, w), jax.devices()[0])
             if self.params.deep_stabilization:
                 import os
 

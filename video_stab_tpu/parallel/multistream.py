@@ -58,6 +58,8 @@ def batched_state_init(params: StabilizerParams, n_streams: int,
         for i in range(n_streams)
     ]
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is None:
+        return jax.device_put(batched, jax.devices()[0])
     if mesh is not None:
         sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         batched = jax.tree_util.tree_map(
