@@ -115,7 +115,16 @@ def _smooth_path(params: StabilizerParams, path: jnp.ndarray) -> jnp.ndarray:
         (_, _), out = jax.lax.scan(step, (x0, jnp.zeros((2, 2, 3))), path[1:])
         return jnp.concatenate([path[:1], out], axis=0)
     r = max(2, min(params.smoothing_radius, 50))
-    return vpallas.box_filter_centered(path, r)
+    if params.use_pallas:
+        return vpallas.box_filter_centered(path, r)
+    # Pure-XLA fallback (use_pallas=False): same centered clamped window.
+    n = path.shape[0]
+    idx = jnp.arange(n)[:, None] + jnp.arange(-r, r + 1)[None, :]
+    valid = (idx >= 0) & (idx <= n - 1)
+    vals = path[jnp.clip(idx, 0, n - 1)]
+    w = valid.astype(path.dtype)[:, :, None]
+    sm = jnp.sum(vals * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    return jnp.where(n <= r, path, sm)
 
 
 @functools.partial(jax.jit, static_argnums=0)

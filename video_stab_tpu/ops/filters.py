@@ -256,14 +256,17 @@ def unsharp_mask(img: jnp.ndarray, sharpness: float, blur_sigma: float) -> jnp.n
 
 
 def bilateral_denoise(img: jnp.ndarray, strength: float, radius: int = 3,
-                      sigma_space: float = 1.5) -> jnp.ndarray:
+                      sigma_space: float = 2.0) -> jnp.ndarray:
     """Edge-preserving denoise, the TPU-friendly stand-in for
-    cv::fastNlMeansDenoisingColored (Enhancer.cpp:130-135): a bilateral filter
-    with range sigma = strength, implemented as static shift-and-accumulate
-    (pure VPU work, no data-dependent shapes)."""
+    cv::fastNlMeansDenoisingColored (Enhancer.cpp:130-135): a bilateral
+    filter implemented as static shift-and-accumulate (pure VPU work, no
+    data-dependent shapes). NLM's h parameter tracks the noise sigma; a
+    bilateral needs its range sigma ~2.5x the noise sigma for comparable
+    smoothing, hence the mapping below."""
     if strength <= 0:
         return img
-    h2 = 2.0 * strength * strength
+    sigma_color = 2.5 * strength
+    h2 = 2.0 * sigma_color * sigma_color
     s2 = 2.0 * sigma_space * sigma_space
     acc = jnp.zeros_like(img)
     wacc = jnp.zeros(img.shape[:2], img.dtype)
