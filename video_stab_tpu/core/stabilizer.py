@@ -64,7 +64,6 @@ from video_stab_tpu.ops.lk import lk_track
 from video_stab_tpu.ops.resize import resize_bilinear
 from video_stab_tpu.ops.warp import (
     BORDER_CONSTANT,
-    border_mode_from_name,
     similarity_matrix,
     warp_affine,
 )
@@ -376,6 +375,10 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                              jnp.zeros(3, jnp.float32))
         dx, dy = t_smooth[0], t_smooth[1]
         da = jnp.where(params.horizon_lock, 0.0, t_smooth[2])  # (897-899)
+        # The applied transform (post horizon lock) — also what the virtual
+        # canvas receives (the reference builds currentTransform from the
+        # locked da, Stabilizer.cpp:1131).
+        t_smooth = jnp.stack([dx, dy, da])
         t_mat = similarity_matrix(dx, dy, da)
         h_corr = None
 
@@ -394,7 +397,6 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
     fade_history = state.fade_history
     fade_count = state.fade_count
 
-    pad_mode = border_mode_from_name(params.border_type)
     if b > 0 and not params.crop_n_zoom:
         # copyMakeBorder with the configured mode (Stabilizer.cpp:914-991).
         if params.border_type in ("black", "fade"):
