@@ -107,19 +107,29 @@ def _bench_multistream(n_streams, h, w, n_iters=30, smoothing_radius=15):
 
 
 def _transfer_gbps():
-    """Host<->device bandwidth probe - flags degraded-tunnel runs."""
+    """Host<->device bandwidth probe - flags degraded-tunnel runs.
+
+    Tiered: a 256 KB pre-probe first — in deep degradation (~0.04 GB/s) a
+    32 MB probe alone would take ~13 minutes and starve the caller's
+    timeout. Only probe big when the tiny probe looks healthy."""
     import jax
 
-    x = np.zeros((32 * 1024 * 1024,), np.uint8)   # 32 MB
-    dev = jax.device_put(x)
-    jax.block_until_ready(dev)
-    t0 = time.perf_counter()
-    dev = jax.device_put(x)
-    jax.block_until_ready(dev)
-    up = 32e6 / (time.perf_counter() - t0) / 1e9
-    t0 = time.perf_counter()
-    _ = np.asarray(dev)
-    down = 32e6 / (time.perf_counter() - t0) / 1e9
+    def probe(nbytes):
+        x = np.zeros((nbytes,), np.uint8)
+        dev = jax.device_put(x)
+        jax.block_until_ready(dev)
+        t0 = time.perf_counter()
+        dev = jax.device_put(x)
+        jax.block_until_ready(dev)
+        up = nbytes / (time.perf_counter() - t0) / 1e9
+        t0 = time.perf_counter()
+        _ = np.asarray(dev)
+        down = nbytes / (time.perf_counter() - t0) / 1e9
+        return up, down
+
+    up, down = probe(256 * 1024)
+    if min(up, down) > 0.05:            # plausible enough: measure properly
+        up, down = probe(32 * 1024 * 1024)
     return round(up, 2), round(down, 2)
 
 
@@ -135,18 +145,22 @@ def main():
         up_gbps, down_gbps = _transfer_gbps()
         attempts += 1
     degraded = min(up_gbps, down_gbps) < 2.0
+    # Degraded mode: shrink everything so a JSON line still prints within
+    # any reasonable timeout (compiles + per-call penalties balloon).
+    reps = 1 if degraded else 3
+    iters = 8 if degraded else 30
 
-    reps = 3
-    fps_1080, ms_1080 = max((_bench_stream(1080, 1920, 30)
+    fps_1080, ms_1080 = max((_bench_stream(1080, 1920, iters)
                              for _ in range(reps)), key=lambda r: r[0])
-    fps_4k, ms_4k = max((_bench_stream(2160, 3840, 30)
+    fps_4k, ms_4k = max((_bench_stream(2160, 3840, iters)
                          for _ in range(reps)), key=lambda r: r[0])
-    fps_multi = max(_bench_multistream(8, 1080, 1920) for _ in range(reps))
-
     if degraded:
+        fps_multi = None
         fps_del = None
     else:
-        fps_del, _ms_del = max((_bench_stream(1080, 1920, 30, mode="full")
+        fps_multi = max(_bench_multistream(8, 1080, 1920)
+                        for _ in range(reps))
+        fps_del, _ms_del = max((_bench_stream(1080, 1920, iters, mode="full")
                                 for _ in range(reps)), key=lambda r: r[0])
 
     out = {
@@ -157,7 +171,8 @@ def main():
         "p50_ms_per_frame_1080p": round(ms_1080, 3),
         "fps_4k": round(fps_4k, 2),
         "p50_ms_per_frame_4k": round(ms_4k, 3),
-        "fps_8x1080p_aggregate": round(fps_multi, 2),
+        "fps_8x1080p_aggregate": (round(fps_multi, 2)
+                                  if fps_multi else None),
         "fps_1080p_delivered_to_host": (round(fps_del, 2)
                                         if fps_del else None),
         "platform": platform,
