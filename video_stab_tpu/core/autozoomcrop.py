@@ -94,12 +94,14 @@ def interior_rect(mask: jnp.ndarray, max_iters: Optional[int] = None,
     return rect
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def auto_zoom_crop_step(params: AutoZoomCropParams, frame_u8: jnp.ndarray,
-                        ) -> jnp.ndarray:
-    """Full auto-zoom-crop of one frame (AutoZoomCrop.cpp:102-283)."""
-    frame = frame_u8.astype(jnp.float32)
+def auto_zoom_crop_f32(params: AutoZoomCropParams, frame: jnp.ndarray,
+                       keep_input_size: Optional[bool] = None) -> jnp.ndarray:
+    """Auto-zoom-crop of one f32 frame (AutoZoomCrop.cpp:102-283) — the
+    composable pure function (used by the fused chain, core/chain.py, where
+    the frame is already f32 on-chip and the output size must stay static)."""
     h, w = frame.shape[:2]
+    if keep_input_size is None:
+        keep_input_size = params.keep_input_size
     gray = bgr_to_gray(frame)
     content = threshold_binary(gray, params.content_threshold, 255.0)
     content = morph_close(content, params.morph_kernel)
@@ -118,8 +120,8 @@ def auto_zoom_crop_step(params: AutoZoomCropParams, frame_u8: jnp.ndarray,
     nx0 = jnp.clip(nx0, 0.0, jnp.maximum(w - new_w, 0.0))
     new_w = jnp.minimum(new_w, jnp.float32(w))
 
-    out_h = h if params.keep_input_size else params.out_height
-    out_w = w if params.keep_input_size else params.out_width
+    out_h = h if keep_input_size else params.out_height
+    out_w = w if keep_input_size else params.out_width
 
     # Crop + resize fused as one inverse-map affine sample: output pixel
     # (x, y) reads source (nx0 + x*new_w/out_w, y0 + y*rh/out_h).
@@ -142,7 +144,14 @@ def auto_zoom_crop_step(params: AutoZoomCropParams, frame_u8: jnp.ndarray,
     fallback = warp_affine(frame, m_id, out_h=out_h, out_w=out_w,
                            border_mode=BORDER_CONSTANT, inverse_map=True)
     out = jnp.where(has_content, out, fallback)
-    return saturate_u8(out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def auto_zoom_crop_step(params: AutoZoomCropParams, frame_u8: jnp.ndarray,
+                        ) -> jnp.ndarray:
+    """Full auto-zoom-crop of one u8 frame (AutoZoomCrop.cpp:102-283)."""
+    return saturate_u8(auto_zoom_crop_f32(params, frame_u8.astype(jnp.float32)))
 
 
 class AutoZoomCrop:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from video_stab_tpu.ops.filters import gaussian_blur
-from video_stab_tpu.ops.warp import BORDER_CONSTANT, similarity_matrix, warp_affine
+from video_stab_tpu.ops.warp import BORDER_CONSTANT, similarity_matrix, warp_affine_tiled
 
 
 def canvas_shape(params, height: int, width: int) -> tuple[int, int]:
@@ -51,10 +51,14 @@ def virtual_canvas_apply(params, canvas: jnp.ndarray, weight: jnp.ndarray,
 
     m = similarity_matrix(correction[0] + ox, correction[1] + oy,
                           correction[2])
-    warped = warp_affine(frame_f32, m, out_h=hc, out_w=wc,
-                         border_mode=BORDER_CONSTANT)
-    coverage = warp_affine(jnp.ones((h, w), jnp.float32), m, out_h=hc,
-                           out_w=wc, border_mode=BORDER_CONSTANT)
+    # The placement translation (ox, oy) is static; size the tiled warp's
+    # envelope to cover it plus the dynamic correction.
+    ms = int(max(ox, oy)) + 160
+    warped = warp_affine_tiled(frame_f32, m, out_h=hc, out_w=wc,
+                               border_mode=BORDER_CONSTANT, max_shift=ms)
+    coverage = warp_affine_tiled(jnp.ones((h, w), jnp.float32), m, out_h=hc,
+                                 out_w=wc, border_mode=BORDER_CONSTANT,
+                                 max_shift=ms)
 
     # Canvas refresh: covered pixels adopt the new frame (weighted by
     # canvas_blend_weight against history for temporal smoothness); empty

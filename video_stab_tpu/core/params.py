@@ -236,6 +236,7 @@ class AutoZoomCropParams:
     only ``marginPercent`` (AutoZoomCrop.h:15) and hardcodes its output size
     (AutoZoomCrop.cpp:246-270)."""
 
+    enabled: bool = False                # pair with roll correction (roll-correction-file.cpp:61-68)
     margin_percent: float = 5.0
     content_threshold: float = 10.0      # black-border threshold (AutoZoomCrop.cpp:122)
     morph_kernel: int = 5                # morphological close (AutoZoomCrop.cpp:130-139)

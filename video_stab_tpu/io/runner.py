@@ -98,17 +98,19 @@ class StabilizerApp:
             # (core/chain.py) — one host<->HBM round trip per frame.
             self.chain = ProcessingChain(m, self.cfg.enhancer,
                                          self.cfg.roll_correction,
-                                         self.cfg.stabilizer)
-            self.enhancer = self.roll = self.stabilizer = None
-            self.azc = AutoZoomCrop(self.cfg.auto_zoom_crop) \
-                if m.roll_correction_enabled else None
+                                         self.cfg.stabilizer,
+                                         azc=self.cfg.auto_zoom_crop)
+            # azc runs INSIDE the fused chain (paired with roll correction,
+            # roll-correction-file.cpp:61-68, gated by auto_zoom_crop.enabled).
+            self.enhancer = self.roll = self.stabilizer = self.azc = None
             return
         self.enhancer = Enhancer(self.cfg.enhancer) if m.enhancer_enabled \
             else None
         self.roll = RollCorrection(self.cfg.roll_correction) \
             if m.roll_correction_enabled else None
         self.azc = AutoZoomCrop(self.cfg.auto_zoom_crop) \
-            if m.roll_correction_enabled else None
+            if (m.roll_correction_enabled and
+                self.cfg.auto_zoom_crop.enabled) else None
         self.stabilizer = Stabilizer(self.cfg.stabilizer) \
             if m.stabilizer_enabled else None
 
@@ -163,6 +165,11 @@ class StabilizerApp:
         if roll is not None:
             with t.stage("roll"):
                 frame = roll.auto_correct_roll(frame)
+            if azc is not None:
+                # Remove the rotation's borders (roll-correction-file.cpp:
+                # 61-68); config-gated by auto_zoom_crop.enabled.
+                with t.stage("auto_zoom_crop"):
+                    frame = azc.auto_zoom_crop(frame)
         if stab is not None:
             with t.stage("stabilize"):
                 out = stab.stabilize(frame)
@@ -171,7 +178,10 @@ class StabilizerApp:
                 return None
             frame = out
             met = stab.last_metrics
-            if met:
+            # Metrics live on-device; syncing them per frame would stall the
+            # async dispatch pipeline. Fetch at reporting cadence only (the
+            # reference prints every 30 frames, DeepStreamTracker.cpp:119).
+            if met and self._frames_out % 30 == 0:
                 self.metrics.set("n_tracked", float(np.asarray(
                     met.get("n_tracked", 0))))
                 self.metrics.set("n_inliers", float(np.asarray(

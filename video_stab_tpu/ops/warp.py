@@ -11,7 +11,11 @@ bilinear sampling, matching cv2.warpAffine without WARP_INVERSE_MAP.
 
 from __future__ import annotations
 
+import math
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 BORDER_CONSTANT = 0
 BORDER_REPLICATE = 1
@@ -138,6 +142,117 @@ def warp_affine(img: jnp.ndarray, m: jnp.ndarray,
     sx = jnp.broadcast_to(sx, (out_h, out_w))
     sy = jnp.broadcast_to(sy, (out_h, out_w))
     return sample_bilinear(img, sx, sy, border_mode, border_value)
+
+
+def _pad_mode(border_mode: int):
+    return {BORDER_CONSTANT: "constant", BORDER_REPLICATE: "edge",
+            BORDER_REFLECT: "symmetric", BORDER_REFLECT_101: "reflect",
+            BORDER_WRAP: "wrap"}[border_mode]
+
+
+def warp_affine_tiled(img: jnp.ndarray, m: jnp.ndarray,
+                      out_h: int | None = None, out_w: int | None = None,
+                      border_mode: int = BORDER_CONSTANT,
+                      border_value: float = 0.0,
+                      inverse_map: bool = False,
+                      max_angle_deg: float = 6.0,
+                      max_shift: int = 128) -> jnp.ndarray:
+    """TPU-fast exact-bilinear affine warp for near-rigid maps.
+
+    Same result as ``warp_affine`` (direct 2D bilinear, cv2 semantics) but
+    built from dynamic slices + static shifted views instead of per-pixel
+    gathers: XLA gathers cost ~34 ns/element on TPU (measured: 69 ms for a
+    1080p warp), while this runs at HBM speed. Per (8, 128) output tile the
+    source footprint of an affine map is a slab of statically bounded size;
+    one dynamic_slice fetches it, and exact bilinear reconstruction is a
+    static sum over (ry, rx) integer offsets weighted by hat functions
+    ``max(0, 1-|q-r|)`` — only the 4 taps with nonzero weight contribute,
+    reproducing bilinear exactly.
+
+    Static envelope: |rotation| <= max_angle_deg, |scale-1| small (the
+    rotation budget doubles as the off-diagonal/row-scale budget), source
+    translation anywhere within ``max_shift`` px of the output tile (plus
+    out-of-image sampling up to max_shift, served by a pre-pad in the
+    requested border mode). Outside the envelope the result degrades to
+    ``border_value``-ish instead of being wrong-but-plausible; hot callers
+    (stabilizer emit, roll correct, virtual canvas) have corrections far
+    inside it. Reference call sites: src/Stabilizer.cpp:1024-1060,
+    src/RollCorrection.cpp:146-149.
+    """
+    out_h = out_h if out_h is not None else img.shape[0]
+    out_w = out_w if out_w is not None else img.shape[1]
+    minv = m if inverse_map else invert_affine(m)
+    minv = minv.astype(jnp.float32)
+    a_, b_, c_ = minv[0, 0], minv[0, 1], minv[0, 2]
+    d_, e_, f_ = minv[1, 0], minv[1, 1], minv[1, 2]
+
+    has_c = img.ndim == 3
+    if not has_c:
+        img = img[:, :, None]
+    ch = img.shape[2]
+    th, tw = 8, 128
+    s_max = abs(math.sin(math.radians(float(max_angle_deg))))
+    # Shift-term counts from the static envelope (sin bounds the
+    # off-diagonals; cos-1 ~ -s^2/2 bounds the diagonal deviation).
+    ry_terms = int(np.ceil(s_max * (tw - 1) + (s_max ** 2) * th + 1)) + 2
+    rx_terms = int(np.ceil(s_max * (th - 1) + (s_max ** 2) * tw + 1)) + 2
+    sh, sw = th + ry_terms - 1, tw + rx_terms - 1
+
+    # The tile grid overhangs out_h/out_w by up to a tile; those lanes are
+    # cropped from the result but still sampled, so the pad covers
+    # max_shift + one tile in each dimension (keeps every in-envelope slice
+    # clamp-free — the base-offset/weight invariant depends on that).
+    pad_y = max_shift + th + 2
+    pad_x = max_shift + tw + 2
+    widths = ((pad_y, pad_y), (pad_x, pad_x), (0, 0))
+    if border_mode == BORDER_CONSTANT:
+        imgp = jnp.pad(img, widths, constant_values=border_value)
+    else:
+        imgp = jnp.pad(img, widths, mode=_pad_mode(border_mode))
+
+    nty = -(-out_h // th)
+    ntx = -(-out_w // tw)
+
+    dy = jnp.arange(th, dtype=jnp.float32)[:, None]
+    dx = jnp.arange(tw, dtype=jnp.float32)[None, :]
+
+    def do_tile(ty, tx):
+        y0 = (ty * th).astype(jnp.float32)
+        x0 = (tx * tw).astype(jnp.float32)
+        # Source coords over the tile (exact, same math as warp_affine).
+        sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
+        sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
+        # Base = floor of the min RESIDUAL (source minus local output
+        # coordinate): the reconstruction indexes tile[dy + ry, dx + rx],
+        # so the invariant is qy - dy ∈ [0, ry_terms), not qy ∈ [...].
+        base_y = jnp.floor(jnp.min(sy - dy)).astype(jnp.int32)
+        base_x = jnp.floor(jnp.min(sx - dx)).astype(jnp.int32)
+        # Keep the slice inside the padded image: shifts beyond the static
+        # envelope clamp (degraded, documented) instead of OOB.
+        base_y = jnp.clip(base_y, -pad_y, img.shape[0] + pad_y - sh)
+        base_x = jnp.clip(base_x, -pad_x, img.shape[1] + pad_x - sw)
+        tile = jax.lax.dynamic_slice(
+            imgp, (base_y + pad_y, base_x + pad_x, 0), (sh, sw, ch))
+        qy = sy - base_y.astype(jnp.float32)
+        qx = sx - base_x.astype(jnp.float32)
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
+               for rx in range(rx_terms)]
+        out = jnp.zeros((th, tw, ch), jnp.float32)
+        for ry in range(ry_terms):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
+            inner = jnp.zeros((th, tw, ch), jnp.float32)
+            for rx in range(rx_terms):
+                inner = inner + wxs[rx][:, :, None] * \
+                    jax.lax.dynamic_slice(tile, (ry, rx, 0), (th, tw, ch))
+            out = out + wy[:, :, None] * inner
+        return out
+
+    tys = jnp.repeat(jnp.arange(nty), ntx)
+    txs = jnp.tile(jnp.arange(ntx), nty)
+    tiles = jax.vmap(do_tile)(tys, txs)          # (nty*ntx, th, tw, ch)
+    full = tiles.reshape(nty, ntx, th, tw, ch).transpose(0, 2, 1, 3, 4)
+    full = full.reshape(nty * th, ntx * tw, ch)[:out_h, :out_w]
+    return full if has_c else full[:, :, 0]
 
 
 def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,

@@ -34,9 +34,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from video_stab_tpu.core.params import StabilizerParams
 from video_stab_tpu.core.state import StabilizerState, stabilizer_state_init
 from video_stab_tpu.core.stabilizer import (
-    stabilizer_analyze_step_fn,
     stabilizer_emit_gated_fn,
     stabilizer_init_step_fn,
+    stabilizer_step_metrics_fn,
 )
 
 
@@ -87,19 +87,26 @@ class MultiStreamStabilizer:
         self.mesh = mesh
         self._state: Optional[StabilizerState] = None
         self._shape: Optional[tuple] = None
-        self._frames_in = 0
+        # Host-side per-stream mirrors of (n_frames, emit_idx): the in-graph
+        # warm-up gate holds the device cursors to exactly these values, so
+        # steady state needs ONE dispatch and ZERO device->host syncs per
+        # batch tick — and per-stream warm-up (after reset_stream) is still
+        # tracked exactly.
+        self._frames_in = np.zeros(n_streams, np.int64)
+        self._emitted = np.zeros(n_streams, np.int64)
         p = params
 
         self._init_b = jax.jit(
             jax.vmap(functools.partial(stabilizer_init_step_fn, p)),
             donate_argnums=0)
-        self._analyze_b = jax.jit(
-            jax.vmap(functools.partial(stabilizer_analyze_step_fn, p)),
+        self._step_b = jax.jit(
+            jax.vmap(functools.partial(stabilizer_step_metrics_fn, p)),
             donate_argnums=0)
         self._emit_b = jax.jit(
             jax.vmap(functools.partial(stabilizer_emit_gated_fn, p)),
             donate_argnums=0)
         self.last_valid: Optional[np.ndarray] = None
+        self.last_metrics: dict = {}
 
     def _ensure_state(self, frames: np.ndarray) -> None:
         n, h, w = frames.shape[:3]
@@ -119,32 +126,39 @@ class MultiStreamStabilizer:
 
     def stabilize_batch(self, frames) -> Optional[np.ndarray]:
         """frames: (N, H, W, 3) uint8. Returns (N, H', W', 3) uint8 or None
-        during warm-up."""
+        during warm-up. One combined analyze+emit dispatch per tick;
+        per-stream readiness comes from the host counters (no sync)."""
         frames = np.ascontiguousarray(frames, dtype=np.uint8)
         self._ensure_state(frames)
         fdev = self._put(frames)
-        if self._frames_in == 0:
+        if not self._frames_in.any():
             self._state = self._init_b(self._state, fdev)
-            self._frames_in = 1
+            self._frames_in[:] = 1
             return None
-        self._state, self.last_metrics = self._analyze_b(self._state, fdev)
+        self._state, out, _ready, self.last_metrics = self._step_b(
+            self._state, fdev)
         self._frames_in += 1
-        self._state, out, ready = self._emit_b(self._state)
-        self.last_valid = np.asarray(ready)
-        if not self.last_valid.any():
+        ready = (self._frames_in - self._emitted) >= \
+            self.params.effective_radius
+        self._emitted += ready
+        self.last_valid = ready
+        if not ready.any():
             return None       # whole batch still warming up
         return np.asarray(out)
 
     def flush_batch(self) -> Optional[np.ndarray]:
+        """Drain: the in-graph gate only releases streams whose queue still
+        holds >= effective_radius frames, so flush stops there (per-stream;
+        single-stream full drain is Stabilizer.flush)."""
         if self._state is None:
             return None
-        queued = self._frames_in - int(np.min(np.asarray(self._state.emit_idx)))
-        if queued <= 0:
+        ready = (self._frames_in - self._emitted) >= \
+            self.params.effective_radius
+        if not ready.any():
             return None
-        self._state, out, ready = self._emit_b(self._state)
-        self.last_valid = np.asarray(ready)
-        if not self.last_valid.any():
-            return None
+        self._state, out, _r = self._emit_b(self._state)
+        self._emitted += ready
+        self.last_valid = ready
         return np.asarray(out)
 
     def reset_stream(self, i: int) -> None:
@@ -163,8 +177,11 @@ class MultiStreamStabilizer:
             return batched.at[i].set(leaf)
 
         self._state = jax.tree_util.tree_map(put, self._state, fresh)
+        self._frames_in[i] = 0
+        self._emitted[i] = 0
 
     def clean(self) -> None:
         self._state = None
         self._shape = None
-        self._frames_in = 0
+        self._frames_in[:] = 0
+        self._emitted[:] = 0
