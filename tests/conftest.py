@@ -18,6 +18,14 @@ import jax  # noqa: E402
 # not enough; force the platform through jax.config too.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the variant-matrix tests recompile the same
+# programs every run; caching them cuts suite wall-clock severalfold.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), os.pardir,
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import cv2  # noqa: E402
 
 cv2.setNumThreads(0)

@@ -1,0 +1,230 @@
+"""Host codec layer tests: native H.264 encode/decode (io/codec.py),
+H264FileSink rate control, the RTSP/H.264 server, and the Annex-B packet
+tools — the verification the reference never had for its encoder stack
+(examples/JetsonEncoder.cpp, src/RTSPServer.cpp).
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from video_stab_tpu.io import codec as vcodec
+
+pytestmark = pytest.mark.skipif(
+    not vcodec.available(), reason="native codec layer unavailable")
+
+
+def make_clip(n=60, h=240, w=320, seed=0, noise=16):
+    """Moving-gradient clip: compressible but non-trivial content.
+    noise=0 -> fully deterministic content (for PSNR fidelity checks;
+    per-frame sensor noise is rightly discarded by any lossy codec)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        base = ((yy + 2 * xx + 5 * i) % 256).astype(np.uint8)
+        f = np.stack([base, 255 - base, base // 2], -1)
+        if noise:
+            f = f + rng.integers(0, noise, (h, w, 3), dtype=np.uint8)
+        frames.append(f)
+    return frames
+
+
+class TestEncoder:
+    def test_bitrate_honored(self):
+        """Measured output bitrate tracks the CBR request within 20% —
+        the contract JetsonEncoder.cpp:76-84 gets from V4L2 CBR mode."""
+        target = 1_000_000
+        enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=target)
+        for f in make_clip(90):
+            enc.encode(f)
+        enc.flush()
+        measured = enc.measured_bitrate_bps()
+        enc.close()
+        assert 0.8 * target < measured < 1.2 * target, measured
+
+    def test_bitrate_scales(self):
+        """Double the request -> roughly double the bytes out."""
+        sizes = {}
+        for target in (500_000, 2_000_000):
+            enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=target)
+            for f in make_clip(60):
+                enc.encode(f)
+            enc.flush()
+            sizes[target] = enc.bytes_out
+            enc.close()
+        ratio = sizes[2_000_000] / sizes[500_000]
+        assert 2.0 < ratio < 6.0, ratio
+
+    def test_zerolatency_every_frame_emits(self):
+        """tune=zerolatency (RTSPServer.cpp:85): no B-frame/lookahead
+        buffering — every frame in yields bytes out immediately."""
+        enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=800_000,
+                                  zerolatency=True)
+        for f in make_clip(10):
+            assert len(enc.encode(f)) > 0
+        enc.close()
+
+    def test_force_key(self):
+        enc = vcodec.VideoEncoder(320, 240, 30, gop=300)
+        clip = make_clip(8)
+        enc.encode(clip[0])
+        assert enc.last_was_key          # first frame is always IDR
+        enc.encode(clip[1])
+        assert not enc.last_was_key
+        enc.encode(clip[2], force_key=True)
+        assert enc.last_was_key
+        enc.close()
+
+
+class TestRoundtrip:
+    def test_encode_decode_all_frames(self):
+        # bitrate_bps=0 -> quality mode (x264 default CRF) and noise-free
+        # content: PSNR reflects codec fidelity, not discarded sensor noise
+        # or a starved rate controller.
+        clip = make_clip(45, noise=0)
+        enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=0)
+        stream = b"".join([enc.encode(f) for f in clip]) + enc.flush()
+        enc.close()
+        dec = vcodec.VideoDecoder()
+        out = []
+        for i in range(0, len(stream), 4096):    # arbitrary chunking
+            out += dec.decode(stream[i:i + 4096])
+        out += dec.flush()
+        dec.close()
+        assert len(out) == len(clip)
+        assert out[0].shape == clip[0].shape
+        mid = len(clip) // 2
+        mse = np.mean((out[mid].astype(np.float64)
+                       - clip[mid].astype(np.float64)) ** 2)
+        # sanity floor: the mod-256 sawtooth edges are hard for DCT codecs
+        # (~27 dB at default CRF); decode garbage would sit far below.
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr > 25.0, psnr
+
+    def test_cv2_can_decode_our_stream(self, tmp_path):
+        """Interop: a completely independent decoder (cv2's bundled ffmpeg)
+        reads the raw Annex-B file our encoder wrote."""
+        import cv2
+        path = str(tmp_path / "clip.h264")
+        clip = make_clip(30)
+        enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=1_500_000)
+        with open(path, "wb") as f:
+            for fr in clip:
+                f.write(enc.encode(fr))
+            f.write(enc.flush())
+        enc.close()
+        cap = cv2.VideoCapture(path)
+        assert cap.isOpened()
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            assert frame.shape == (240, 320, 3)
+            n += 1
+        cap.release()
+        assert n == len(clip)
+
+
+class TestAnnexB:
+    def test_split_and_types(self):
+        clip = make_clip(10)
+        enc = vcodec.VideoEncoder(320, 240, 30)
+        stream = b"".join([enc.encode(f) for f in clip]) + enc.flush()
+        enc.close()
+        nals = vcodec.split_nal_units(stream)
+        assert b"".join(nals) == stream       # lossless split
+        types = {vcodec.nal_type(n) for n in nals}
+        assert 7 in types and 8 in types and 5 in types  # SPS, PPS, IDR
+        assert all(n[:3] == b"\x00\x00\x01" or n[:4] == b"\x00\x00\x00\x01"
+                   for n in nals)
+
+
+class TestH264FileSink:
+    def test_sink_writes_decodable_file_with_rate_control(self, tmp_path):
+        from video_stab_tpu.io.sinks import H264FileSink
+        path = str(tmp_path / "out.h264")
+        target = 1_200_000
+        sink = H264FileSink(path, fps=30, bitrate_bps=target)
+        clip = make_clip(60)
+        for f in clip:
+            sink.write(f)
+        sink.close()
+        measured = os.path.getsize(path) * 8 / (len(clip) / 30)
+        assert 0.8 * target < measured < 1.25 * target, measured
+        dec = vcodec.VideoDecoder()
+        with open(path, "rb") as fh:
+            frames = dec.decode(fh.read()) + dec.flush()
+        dec.close()
+        assert len(frames) == len(clip)
+
+    def test_open_sink_dispatch(self, tmp_path):
+        from video_stab_tpu.io.sinks import H264FileSink, open_sink
+        sink = open_sink(str(tmp_path / "x.h264"))
+        assert isinstance(sink, H264FileSink)
+
+
+class TestRTSP:
+    def test_rtsp_serves_to_cv2_client(self):
+        """Full loop: RTSPServer (native x264 + RFC 6184 packetizer +
+        TCP-interleaved RTP) -> cv2/ffmpeg RTSP client decodes frames."""
+        import cv2
+
+        from video_stab_tpu.io.rtsp import RTSPServer
+        server = RTSPServer(port=18554, mount="/stream", fps=30).start()
+        clip = make_clip(600, h=240, w=320)
+        stop = threading.Event()
+
+        def pusher():
+            i = 0
+            while not stop.is_set():
+                server.push_frame(clip[i % len(clip)])
+                i += 1
+                time.sleep(1 / 60)
+        t = threading.Thread(target=pusher, daemon=True)
+        t.start()
+        try:
+            os.environ["OPENCV_FFMPEG_CAPTURE_OPTIONS"] = \
+                "rtsp_transport;tcp"
+            cap = cv2.VideoCapture(server.url, cv2.CAP_FFMPEG)
+            assert cap.isOpened()
+            got = 0
+            deadline = time.time() + 20
+            while got < 10 and time.time() < deadline:
+                ok, frame = cap.read()
+                if ok:
+                    assert frame.shape == (240, 320, 3)
+                    got += 1
+            cap.release()
+            assert got >= 10, f"only {got} frames decoded"
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            server.close()
+            os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
+
+    def test_packetizer_fua_roundtrip(self):
+        """FU-A fragmentation: a NAL bigger than the payload limit splits
+        into valid fragments that reassemble to the original."""
+        from video_stab_tpu.io import rtsp
+        big = b"\x00\x00\x00\x01" + bytes([0x65]) + os.urandom(150_000)
+        packets, seq = rtsp.packetize_h264([big], 1234, 0, 42)
+        assert len(packets) == 3
+        assert packets[-1][1] & 0x80                   # marker on last
+        body = b""
+        for i, p in enumerate(packets):
+            assert p[1] & 0x7F == rtsp.RTP_PT
+            payload = p[12:]
+            indicator, fu = payload[0], payload[1]
+            assert indicator & 0x1F == 28              # FU-A
+            assert (fu & 0x80 != 0) == (i == 0)        # start bit
+            assert (fu & 0x40 != 0) == (i == len(packets) - 1)  # end bit
+            body += payload[2:]
+        # reassembled = original NAL header + payload
+        original = big[4:]
+        reconstructed = bytes([(payload[0] & 0xE0) | (fu & 0x1F)]) + body
+        assert reconstructed == original

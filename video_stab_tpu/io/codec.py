@@ -1,0 +1,270 @@
+"""Host codec layer: native H.264/H.265 encode + decode (ctypes over
+``native/codec.cpp`` -> system libavcodec/libx264).
+
+This is the TPU-host counterpart of the reference's encoder stack:
+- examples/JetsonEncoder.cpp:22-116 (V4L2 HW encoder with CBR rate control)
+  -> :class:`VideoEncoder` with a *honored* ``bitrate_bps`` (VBV/CBR).
+- src/RTSPServer.cpp:79-92 (x264enc zerolatency launch string)
+  -> ``zerolatency=True`` default.
+- src/GstdManager.cpp:155-180 (compressed-domain relay, no decode)
+  -> :class:`VideoDecoder` + :func:`split_nal_units` let callers stay in the
+  packet domain and only decode when the processing path needs pixels.
+
+All entry points degrade gracefully: :func:`available` is False when the
+native library (or ffmpeg dev stack) is absent, and callers fall back to the
+cv2 writer path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    os.pardir, "native")
+_LIB_PATH = os.path.abspath(os.path.join(_DIR, "libvstab_codec.so"))
+_lib = None
+_load_failed = False
+_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_DIR), "-s",
+                        "libvstab_codec.so"],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+        c = ctypes
+        lib.vs_enc_open.restype = c.c_void_p
+        lib.vs_enc_open.argtypes = [c.c_int, c.c_int, c.c_double, c.c_int64,
+                                    c.c_char_p, c.c_int, c.c_int]
+        lib.vs_enc_encode.restype = c.c_int
+        lib.vs_enc_encode.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                      c.c_char_p, c.c_int, c.POINTER(c.c_int)]
+        lib.vs_enc_flush.restype = c.c_int
+        lib.vs_enc_flush.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                     c.POINTER(c.c_int)]
+        lib.vs_enc_bytes_out.restype = c.c_int64
+        lib.vs_enc_bytes_out.argtypes = [c.c_void_p]
+        lib.vs_enc_close.argtypes = [c.c_void_p]
+        lib.vs_dec_open.restype = c.c_void_p
+        lib.vs_dec_open.argtypes = [c.c_char_p]
+        lib.vs_dec_decode.restype = c.c_int
+        lib.vs_dec_decode.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                      c.c_int, c.c_char_p, c.c_int64,
+                                      c.POINTER(c.c_int), c.POINTER(c.c_int)]
+        lib.vs_dec_close.argtypes = [c.c_void_p]
+        lib.vs_annexb_scan.restype = c.c_int
+        lib.vs_annexb_scan.argtypes = [c.c_char_p, c.c_int64,
+                                       c.POINTER(c.c_int64), c.c_int]
+        _lib = lib
+        return _lib
+
+
+def available(codec: str = "libx264") -> bool:
+    """True when the native codec layer loads and `codec` opens."""
+    lib = _load()
+    if lib is None:
+        return False
+    h = lib.vs_enc_open(64, 64, 30.0, 0, codec.encode(), 1, 0)
+    if not h:
+        return False
+    lib.vs_enc_close(h)
+    return True
+
+
+class VideoEncoder:
+    """Streaming encoder: BGR frames in, Annex-B bytes out.
+
+    ``bitrate_bps > 0`` enables VBV-constrained CBR — the measured output
+    bitrate tracks the request (the contract JetsonEncoder.cpp:76-84 gets
+    from V4L2_MPEG_VIDEO_BITRATE_MODE_CBR). ``zerolatency`` disables
+    B-frames/lookahead so every frame in yields bytes out immediately
+    (RTSPServer.cpp:85 x264enc tune=zerolatency).
+    """
+
+    def __init__(self, width: int, height: int, fps: float = 30.0,
+                 bitrate_bps: int = 0, codec: str = "libx264",
+                 zerolatency: bool = True, gop: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native codec library unavailable")
+        self._lib = lib
+        self._h = lib.vs_enc_open(width, height, float(fps),
+                                  int(bitrate_bps), codec.encode(),
+                                  int(zerolatency), int(gop))
+        if not self._h:
+            raise RuntimeError(f"cannot open encoder {codec!r}")
+        self.width, self.height = width, height
+        self.fps = fps
+        self.bitrate_bps = bitrate_bps
+        self.frames_in = 0
+        self.last_was_key = False
+        # Worst case bound: raw frame + headers (keyframes under heavy
+        # motion stay far below raw size).
+        self._cap = width * height * 3 + (1 << 16)
+        self._buf = ctypes.create_string_buffer(self._cap)
+
+    def encode(self, frame_bgr: np.ndarray,
+               force_key: bool = False) -> bytes:
+        """Encode one HxWx3 uint8 BGR frame; returns 0+ Annex-B NAL bytes.
+
+        ``force_key`` makes this frame an IDR (instant join for a new
+        streaming client). Sets ``self.last_was_key``.
+        """
+        frame_bgr = np.ascontiguousarray(frame_bgr, dtype=np.uint8)
+        assert frame_bgr.shape == (self.height, self.width, 3), frame_bgr.shape
+        key = ctypes.c_int(0)
+        n = self._lib.vs_enc_encode(
+            self._h, frame_bgr.ctypes.data_as(ctypes.c_char_p),
+            int(force_key), self._buf, self._cap, ctypes.byref(key))
+        if n < 0:
+            raise RuntimeError(f"encode failed ({n})")
+        self.frames_in += 1
+        self.last_was_key = bool(key.value)
+        return self._buf.raw[:n]
+
+    def flush(self) -> bytes:
+        """Drain buffered packets at end of stream."""
+        out = b""
+        while True:
+            key = ctypes.c_int(0)
+            n = self._lib.vs_enc_flush(self._h, self._buf, self._cap,
+                                       ctypes.byref(key))
+            if n < 0:
+                raise RuntimeError(f"flush failed ({n})")
+            if n == 0:
+                return out
+            out += self._buf.raw[:n]
+
+    @property
+    def bytes_out(self) -> int:
+        return int(self._lib.vs_enc_bytes_out(self._h))
+
+    def measured_bitrate_bps(self) -> float:
+        """Average output bitrate so far (bits/sec at the nominal fps)."""
+        if self.frames_in == 0:
+            return 0.0
+        return self.bytes_out * 8.0 * self.fps / self.frames_in
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vs_enc_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class VideoDecoder:
+    """Streaming Annex-B decoder: bytes in, BGR frames out.
+
+    Feed arbitrary byte chunks (packet boundaries not required — an in-C
+    av_parser splits them); collect frames as they decode. ``flush()`` at
+    EOF returns the tail.
+    """
+
+    _MAX_W, _MAX_H = 4096, 2304
+
+    def __init__(self, codec: str = "h264"):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native codec library unavailable")
+        self._lib = lib
+        self._h = lib.vs_dec_open(codec.encode())
+        if not self._h:
+            raise RuntimeError(f"cannot open decoder {codec!r}")
+        self._cap = self._MAX_W * self._MAX_H * 3
+        self._buf = ctypes.create_string_buffer(self._cap)
+
+    def _pull(self, data: bytes, eof: bool) -> List[np.ndarray]:
+        frames = []
+        chunk = data
+        while True:
+            w = ctypes.c_int(0)
+            h = ctypes.c_int(0)
+            r = self._lib.vs_dec_decode(
+                self._h, chunk, len(chunk), int(eof), self._buf, self._cap,
+                ctypes.byref(w), ctypes.byref(h))
+            if r < 0:
+                raise RuntimeError(f"decode failed ({r})")
+            if r == 0:
+                return frames
+            arr = np.frombuffer(self._buf.raw[:w.value * h.value * 3],
+                                dtype=np.uint8)
+            frames.append(arr.reshape(h.value, w.value, 3).copy())
+            chunk = b""  # input consumed; drain the internal queue
+
+    def decode(self, data: bytes) -> List[np.ndarray]:
+        return self._pull(data, eof=False)
+
+    def flush(self) -> List[np.ndarray]:
+        return self._pull(b"", eof=True)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vs_dec_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def split_nal_units(data: bytes, max_nals: int = 4096) -> List[bytes]:
+    """Split an Annex-B byte stream into NAL units (start codes included).
+
+    The packet-domain primitive for compressed passthrough
+    (GstdManager.cpp:155-180 relays H.264 NALs without decoding).
+    """
+    lib = _load()
+    if lib is None:  # pure-Python fallback
+        offs, i = [], 0
+        while True:
+            j = data.find(b"\x00\x00\x01", i)
+            if j < 0:
+                break
+            start = j - 1 if j > 0 and data[j - 1] == 0 else j
+            offs.append(start)
+            i = j + 3
+        return [data[a:b] for a, b in zip(offs, offs[1:] + [len(data)])]
+    arr = (ctypes.c_int64 * max_nals)()
+    n = lib.vs_annexb_scan(data, len(data), arr, max_nals)
+    offs = [arr[i] for i in range(n)]
+    return [data[a:b] for a, b in zip(offs, offs[1:] + [len(data)])]
+
+
+def nal_type(nal: bytes) -> Optional[int]:
+    """H.264 nal_unit_type of an Annex-B NAL (5=IDR, 7=SPS, 8=PPS...)."""
+    i = 3 if nal[:3] == b"\x00\x00\x01" else (
+        4 if nal[:4] == b"\x00\x00\x00\x01" else None)
+    if i is None or len(nal) <= i:
+        return None
+    return nal[i] & 0x1F

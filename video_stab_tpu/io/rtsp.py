@@ -1,0 +1,345 @@
+"""RTSP server: real H.264-over-RTSP serving, the counterpart of the
+reference's in-process GStreamer RTSP server (src/RTSPServer.cpp).
+
+Feature map (reference file:line -> here):
+- RTSPServer.cpp:79-92  appsrc->x264enc zerolatency->rtph264pay launch
+  string                -> native libx264 ``VideoEncoder`` (zerolatency) +
+  in-process RFC 6184 packetizer.
+- RTSPServer.cpp:80     bitrate heuristic max(2000,(w*h*fps)/500) kbps
+  -> ``bitrate_kbps_server`` from io/sinks.py, *honored* by the encoder's
+  VBV/CBR rate control (not decorative).
+- RTSPServer.cpp:95     one shared media factory for any number of clients
+  -> one encoder, NALs fanned out to every playing session; a joining
+  client forces the next frame to be an IDR.
+- RTSPServer.cpp:163-214 pushFrame(cv::Mat) w/ wall-clock PTS -> push_frame
+  with a 90 kHz RTP clock derived from the nominal fps.
+
+Transport: RTSP/1.0 with TCP-interleaved RTP (RFC 2326 §10.12) only — the
+deterministic, firewall-friendly mode every client supports
+(ffmpeg/cv2: ``rtsp_transport=tcp``; VLC: ``--rtsp-tcp``). UDP adds nothing
+on localhost/LAN serving and a lot of loss-handling surface.
+
+RTP payload: RFC 6184 H.264 — single-NAL-unit packets, FU-A fragmentation
+for NALs above the interleaved 16-bit frame limit.
+"""
+
+from __future__ import annotations
+
+import base64
+import secrets
+import socket
+import socketserver
+import struct
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from video_stab_tpu.io.codec import (VideoEncoder, available, nal_type,
+                                     split_nal_units)
+from video_stab_tpu.io.sinks import FrameSink, bitrate_kbps_server
+from video_stab_tpu.utils.telemetry import get_logger
+
+RTP_PT = 96           # dynamic payload type, matches the reference's pay0
+RTP_CLOCK = 90000     # H.264 RTP clock (RFC 6184 §8.2.1)
+MAX_RTP_PAYLOAD = 60000   # keep under the 16-bit interleaved frame limit
+
+
+def _strip_start_code(nal: bytes) -> bytes:
+    if nal[:4] == b"\x00\x00\x00\x01":
+        return nal[4:]
+    if nal[:3] == b"\x00\x00\x01":
+        return nal[3:]
+    return nal
+
+
+def packetize_h264(nals: List[bytes], timestamp: int, seq: int,
+                   ssrc: int) -> Tuple[List[bytes], int]:
+    """RFC 6184 packetization: one access unit's NALs -> RTP packets.
+
+    Single-NAL-unit mode per NAL; FU-A when a NAL exceeds MAX_RTP_PAYLOAD.
+    The marker bit is set on the last packet of the access unit. Returns
+    (packets, next_seq).
+    """
+    payloads: List[bytes] = []
+    for nal in nals:
+        raw = _strip_start_code(nal)
+        if not raw:
+            continue
+        if len(raw) <= MAX_RTP_PAYLOAD:
+            payloads.append(raw)
+        else:   # FU-A (RFC 6184 §5.8)
+            header = raw[0]
+            indicator = (header & 0xE0) | 28
+            rest = raw[1:]
+            n = len(rest)
+            for off in range(0, n, MAX_RTP_PAYLOAD):
+                chunk = rest[off:off + MAX_RTP_PAYLOAD]
+                s = 0x80 if off == 0 else 0
+                e = 0x40 if off + MAX_RTP_PAYLOAD >= n else 0
+                fu_header = s | e | (header & 0x1F)
+                payloads.append(bytes([indicator, fu_header]) + chunk)
+    packets = []
+    for i, payload in enumerate(payloads):
+        marker = 0x80 if i == len(payloads) - 1 else 0
+        hdr = struct.pack("!BBHII", 0x80, marker | RTP_PT, seq & 0xFFFF,
+                          timestamp & 0xFFFFFFFF, ssrc)
+        packets.append(hdr + payload)
+        seq += 1
+    return packets, seq
+
+
+class _Session:
+    """One RTSP client connection in PLAY state."""
+
+    def __init__(self, sock: socket.socket, session_id: str, channel: int):
+        self.sock = sock
+        self.session_id = session_id
+        self.channel = channel      # interleaved channel for RTP
+        self.seq = secrets.randbelow(1 << 16)
+        self.ssrc = secrets.randbelow(1 << 32)
+        self.playing = False
+        self.dead = False
+        self.lock = threading.Lock()
+
+    def send_access_unit(self, nals: List[bytes], timestamp: int) -> None:
+        packets, self.seq = packetize_h264(nals, timestamp, self.seq,
+                                           self.ssrc)
+        try:
+            with self.lock:
+                for p in packets:
+                    frame = struct.pack("!BBH", 0x24, self.channel, len(p))
+                    self.sock.sendall(frame + p)
+        except OSError:
+            self.dead = True
+
+
+class RTSPServer(FrameSink):
+    """In-process RTSP/H.264 server with the reference's pushFrame API
+    (RTSPServer.h:16-22): construct with (port, mount), ``start()``, then
+    ``push_frame(bgr_frame)`` per frame; any number of clients may connect
+    to ``rtsp://host:port<mount>``.
+    """
+
+    def __init__(self, port: int = 8554, mount: str = "/stream",
+                 fps: int = 30, bitrate_kbps: int = 0,
+                 logging: bool = False):
+        self.port = port
+        self.mount = mount
+        self.fps = fps
+        self.bitrate_kbps = bitrate_kbps    # 0 -> reference heuristic
+        self.log = get_logger("RTSPServer", logging)
+        self._encoder: Optional[VideoEncoder] = None
+        self._sessions: Dict[str, _Session] = {}
+        self._slock = threading.Lock()
+        self._server: Optional[socketserver.ThreadingTCPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._sprop: Optional[str] = None   # base64 "SPS,PPS" for the SDP
+        self._ts = secrets.randbelow(1 << 31)
+        self._force_key = False
+        self.frames_pushed = 0
+
+    # -- sink API -----------------------------------------------------------
+    def push_frame(self, frame: np.ndarray) -> None:
+        h, w = frame.shape[:2]
+        if self._encoder is None:
+            kbps = self.bitrate_kbps or bitrate_kbps_server(w, h, self.fps)
+            self._encoder = VideoEncoder(
+                w, h, self.fps, bitrate_bps=kbps * 1000, zerolatency=True)
+            self.log.info("encoder open %dx%d @%d kbps", w, h, kbps)
+        force = self._force_key
+        self._force_key = False
+        data = self._encoder.encode(frame, force_key=force)
+        self.frames_pushed += 1
+        self._ts = (self._ts + RTP_CLOCK // self.fps) & 0xFFFFFFFF
+        if not data:
+            return
+        nals = split_nal_units(data)
+        if self._sprop is None:
+            sps = next((n for n in nals if nal_type(n) == 7), None)
+            pps = next((n for n in nals if nal_type(n) == 8), None)
+            if sps and pps:
+                self._sprop = (
+                    base64.b64encode(_strip_start_code(sps)).decode() + ","
+                    + base64.b64encode(_strip_start_code(pps)).decode())
+        with self._slock:
+            sessions = [s for s in self._sessions.values() if s.playing]
+        for s in sessions:
+            s.send_access_unit(nals, self._ts)
+        with self._slock:
+            for sid in [sid for sid, s in self._sessions.items() if s.dead]:
+                del self._sessions[sid]
+
+    write = push_frame
+
+    # -- SDP ----------------------------------------------------------------
+    def _sdp(self, host: str) -> str:
+        fmtp = f"a=fmtp:{RTP_PT} packetization-mode=1"
+        if self._sprop:
+            fmtp += f";sprop-parameter-sets={self._sprop}"
+        return "\r\n".join([
+            "v=0",
+            f"o=- 0 0 IN IP4 {host}",
+            "s=vstab",
+            "t=0 0",
+            f"m=video 0 RTP/AVP {RTP_PT}",
+            "c=IN IP4 0.0.0.0",
+            f"a=rtpmap:{RTP_PT} H264/{RTP_CLOCK}",
+            fmtp,
+            "a=control:track0",
+            "",
+        ])
+
+    # -- RTSP protocol ------------------------------------------------------
+    def _handle_connection(self, sock: socket.socket) -> None:
+        sock.settimeout(30.0)
+        f = sock.makefile("rb")
+        session: Optional[_Session] = None
+        try:
+            while True:
+                request = f.readline()
+                if not request:
+                    break
+                if request[:1] == b"$":     # interleaved data from client
+                    hdr = request + f.read(3 - len(request) + 1)
+                    _, _, ln = struct.unpack("!BBH", hdr[:4])
+                    f.read(ln)
+                    continue
+                headers = {}
+                while True:
+                    line = f.readline()
+                    if not line or line in (b"\r\n", b"\n"):
+                        break
+                    k, _, v = line.decode("latin1").partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                body_len = int(headers.get("content-length", 0))
+                if body_len:
+                    f.read(body_len)
+                parts = request.decode("latin1").split()
+                if len(parts) < 2:
+                    break
+                method, url = parts[0], parts[1]
+                cseq = headers.get("cseq", "0")
+                session = self._dispatch(sock, method, url, headers, cseq,
+                                         session)
+                if session is _CLOSE:
+                    break
+        except (OSError, ValueError):
+            pass
+        finally:
+            if isinstance(session, _Session):
+                with self._slock:
+                    self._sessions.pop(session.session_id, None)
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _reply(self, sock, cseq: str, extra: Dict[str, str] = {},
+               body: str = "") -> None:
+        lines = ["RTSP/1.0 200 OK", f"CSeq: {cseq}"]
+        lines += [f"{k}: {v}" for k, v in extra.items()]
+        if body:
+            lines.append(f"Content-Length: {len(body)}")
+        msg = "\r\n".join(lines) + "\r\n\r\n" + body
+        sock.sendall(msg.encode("latin1"))
+
+    def _dispatch(self, sock, method, url, headers, cseq, session):
+        if method == "OPTIONS":
+            self._reply(sock, cseq, {"Public": (
+                "OPTIONS, DESCRIBE, SETUP, PLAY, PAUSE, TEARDOWN,"
+                " GET_PARAMETER")})
+        elif method == "DESCRIBE":
+            host = sock.getsockname()[0]
+            body = self._sdp(host)
+            self._reply(sock, cseq, {
+                "Content-Base": url if url.endswith("/") else url + "/",
+                "Content-Type": "application/sdp"}, body)
+        elif method == "SETUP":
+            transport = headers.get("transport", "")
+            if "TCP" not in transport.upper():
+                sock.sendall((f"RTSP/1.0 461 Unsupported Transport\r\n"
+                              f"CSeq: {cseq}\r\n\r\n").encode())
+                return session
+            channel = 0
+            if "interleaved=" in transport:
+                try:
+                    channel = int(
+                        transport.split("interleaved=")[1].split("-")[0])
+                except ValueError:
+                    channel = 0
+            sid = secrets.token_hex(8)
+            session = _Session(sock, sid, channel)
+            with self._slock:
+                self._sessions[sid] = session
+            self._reply(sock, cseq, {
+                "Transport": (f"RTP/AVP/TCP;unicast;"
+                              f"interleaved={channel}-{channel + 1}"),
+                "Session": sid})
+        elif method == "PLAY":
+            if session is not None:
+                session.playing = True
+                self._force_key = True      # fast join: next frame is IDR
+            self._reply(sock, cseq, {
+                "Session": session.session_id if session else "",
+                "RTP-Info": f"url={url}/track0"})
+        elif method == "PAUSE":
+            if session is not None:
+                session.playing = False
+            self._reply(sock, cseq, {
+                "Session": session.session_id if session else ""})
+        elif method == "GET_PARAMETER":
+            self._reply(sock, cseq, {
+                "Session": session.session_id if session else ""})
+        elif method == "TEARDOWN":
+            self._reply(sock, cseq, {})
+            return _CLOSE
+        else:
+            sock.sendall((f"RTSP/1.0 405 Method Not Allowed\r\n"
+                          f"CSeq: {cseq}\r\n\r\n").encode())
+        return session
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> "RTSPServer":
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                outer._handle_connection(self.request)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server(("0.0.0.0", self.port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        self.log.info("RTSP serving on :%d%s", self.port, self.mount)
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"rtsp://127.0.0.1:{self.port}{self.mount}"
+
+    @property
+    def n_clients(self) -> int:
+        with self._slock:
+            return len(self._sessions)
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if self._encoder is not None:
+            self._encoder.close()
+            self._encoder = None
+
+
+_CLOSE = object()   # sentinel: connection should close
+
+
+def rtsp_available() -> bool:
+    """True when the native H.264 encoder the server needs is present."""
+    return available("libx264")

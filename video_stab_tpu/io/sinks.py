@@ -1,15 +1,16 @@
 """Frame sinks + host codec layer.
 
 Counterparts of the reference's output plumbing:
-- Encoder       <- examples/JetsonEncoder.cpp (V4L2 HW H.264/H.265) — here a
-                   host-side cv2.VideoWriter codec wrapper with the
-                   reference's bitrate heuristics (RTSPServer.cpp:80,
-                   vsg.cpp:415, 1238).
-- FileSink      <- the MP4-out path of the examples.
-- MJPEGServer   <- src/RTSPServer.cpp's serve-to-clients role. A real RTSP
-                   server needs gstreamer-rtsp-server; the portable
-                   equivalent here is multipart-MJPEG over HTTP (every
-                   browser/VLC plays it) with the same pushFrame API.
+- H264FileSink  <- examples/JetsonEncoder.cpp (V4L2 HW H.264/H.265 with CBR
+                   rate control) — native libx264 encode (io/codec.py) with
+                   a *honored* bitrate and the reference's heuristics
+                   (RTSPServer.cpp:80, vsg.cpp:415, 1238).
+- FileSink      <- the MP4-out path of the examples (cv2.VideoWriter
+                   container path; falls back when the native codec layer
+                   is absent).
+- MJPEGServer   <- a zero-dependency HTTP preview sink (every browser/VLC
+                   plays it). The real RTSP/H.264 server lives in
+                   io/rtsp.py (src/RTSPServer.cpp counterpart).
 - CallbackSink / NullSink for tests.
 """
 
@@ -94,6 +95,54 @@ class FileSink(FrameSink):
         if self._writer is not None:
             self._writer.release()
             self._writer = None
+
+
+class H264FileSink(FrameSink):
+    """Annex-B H.264 elementary-stream writer with honored CBR bitrate.
+
+    The JetsonEncoder counterpart (examples/JetsonEncoder.cpp:129-194:
+    encodeFrame(cv::Mat) -> bitstream bytes; CBR config 22-116). Output is
+    a raw .h264 byte stream — playable/decodable everywhere (ffplay, VLC,
+    cv2.VideoCapture) and byte-relayable through the packet-domain channels.
+
+    ``bitrate_bps=0`` applies the reference app heuristic
+    clamp(w*h*fps*0.1, 2, 8 Mbps) (vsg.cpp:415, 1238).
+    """
+
+    def __init__(self, path: str, fps: float = 30.0, bitrate_bps: int = 0,
+                 codec: str = "libx264", zerolatency: bool = True):
+        self.path = path
+        self.fps = fps
+        self.bitrate_bps = bitrate_bps
+        self.codec = codec
+        self.zerolatency = zerolatency
+        self._encoder = None
+        self._file = None
+        self.frames_written = 0
+
+    def write(self, frame: np.ndarray) -> None:
+        from video_stab_tpu.io.codec import VideoEncoder
+        if self._encoder is None:
+            h, w = frame.shape[:2]
+            bps = self.bitrate_bps or bitrate_bps_app(w, h, int(self.fps))
+            self._encoder = VideoEncoder(
+                w, h, self.fps, bitrate_bps=bps, codec=self.codec,
+                zerolatency=self.zerolatency)
+            self._file = open(self.path, "wb")
+        self._file.write(self._encoder.encode(frame))
+        self.frames_written += 1
+
+    def measured_bitrate_bps(self) -> float:
+        return self._encoder.measured_bitrate_bps() if self._encoder else 0.0
+
+    def close(self) -> None:
+        if self._encoder is not None:
+            self._file.write(self._encoder.flush())
+            self._encoder.close()
+            self._encoder = None
+        if self._file is not None:
+            self._file.close()
+            self._file = None
 
 
 class MJPEGServer(FrameSink):
@@ -187,14 +236,31 @@ class MJPEGServer(FrameSink):
 
 
 def open_sink(target: str, fps: float = 30.0) -> FrameSink:
-    """Sink dispatch: "" / "null" -> NullSink; "mjpeg://:PORT/mount" ->
-    MJPEGServer; anything else -> file path."""
+    """Sink dispatch (the output half of CamCap's source dispatch,
+    CamCap.cpp:22-77):
+
+    - "" / "null"            -> NullSink
+    - "rtsp://[host]:PORT/m" -> RTSPServer (native H.264, io/rtsp.py)
+    - "mjpeg://:PORT/mount"  -> MJPEGServer (HTTP preview)
+    - "*.h264"               -> H264FileSink (native CBR encode)
+    - anything else          -> FileSink (cv2 container writer)
+    """
     if not target or target == "null":
         return NullSink()
+    if target.startswith("rtsp://"):
+        from video_stab_tpu.io.rtsp import RTSPServer
+        rest = target[len("rtsp://"):]
+        host_port, _, mount = rest.partition("/")
+        port = int(host_port.rsplit(":", 1)[-1]) if ":" in host_port \
+            else 8554
+        return RTSPServer(port=port, mount="/" + (mount or "stream"),
+                          fps=int(fps)).start()
     if target.startswith("mjpeg://"):
         rest = target[len("mjpeg://"):]
         host_port, _, mount = rest.partition("/")
         port = int(host_port.rsplit(":", 1)[-1]) if ":" in host_port \
             else int(host_port or 8554)
         return MJPEGServer(port=port, mount="/" + (mount or "stream")).start()
+    if target.endswith(".h264") or target.endswith(".264"):
+        return H264FileSink(target, fps=fps)
     return FileSink(target, EncoderParams(fps=fps))

@@ -1,0 +1,314 @@
+// Native host codec layer: H.264/H.265 encode + decode over libavcodec.
+//
+// TPU-native counterpart of the reference's hardware/GStreamer codec stack:
+//   - examples/JetsonEncoder.cpp:22-116  (V4L2 NvVideoEncoder, CBR rate
+//     control, profile/level)            -> vs_enc_* below (libx264 with a
+//     real VBV/CBR rate controller; the encoder the reference's x264enc
+//     GStreamer element wraps, src/RTSPServer.cpp:79-92).
+//   - src/RTSPServer.cpp:80              (bitrate heuristic lives in
+//     io/sinks.py; this layer *honors* the requested bitrate).
+//   - src/GstdManager.cpp:155-180        (compressed-domain passthrough:
+//     vs_dec_* + the Annex-B parser let the Python layer relay or decode
+//     H.264 without GStreamer).
+//
+// C ABI only (consumed via ctypes from io/codec.py). Frames are BGR24
+// (OpenCV convention, matching the reference's cv::Mat plumbing).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+
+namespace {
+
+struct Encoder {
+  AVCodecContext *ctx = nullptr;
+  SwsContext *sws = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  int64_t pts = 0;
+  int64_t bytes_out = 0;
+  int width = 0, height = 0;
+};
+
+struct Decoder {
+  AVCodecContext *ctx = nullptr;
+  AVCodecParserContext *parser = nullptr;
+  SwsContext *sws = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  int sws_w = 0, sws_h = 0;
+  std::deque<AVFrame *> ready;  // decoded, not yet handed to the caller
+  bool eof_sent = false;
+};
+
+// Drain every ready packet from `ctx` into `out`, appending. Returns total
+// bytes appended, or <0 on error. Sets *is_key if any packet was a keyframe.
+int drain_packets(AVCodecContext *ctx, AVPacket *pkt, uint8_t *out,
+                  int out_cap, int *is_key, int64_t *bytes_out) {
+  int total = 0;
+  for (;;) {
+    int ret = avcodec_receive_packet(ctx, pkt);
+    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) break;
+    if (ret < 0) return -2;
+    if (total + pkt->size > out_cap) {
+      av_packet_unref(pkt);
+      return -3;  // caller buffer too small
+    }
+    std::memcpy(out + total, pkt->data, pkt->size);
+    total += pkt->size;
+    if (is_key && (pkt->flags & AV_PKT_FLAG_KEY)) *is_key = 1;
+    if (bytes_out) *bytes_out += pkt->size;
+    av_packet_unref(pkt);
+  }
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+
+// codec_name: "libx264" | "libx265" | "mpeg4"... ; bitrate_bps > 0 enables
+// CBR-style VBV rate control (JetsonEncoder.cpp:71-84 semantics);
+// zerolatency != 0 -> no B-frames / no lookahead (x264enc tune=zerolatency,
+// RTSPServer.cpp:85); gop: keyframe interval in frames (<=0 -> fps).
+void *vs_enc_open(int width, int height, double fps, int64_t bitrate_bps,
+                  const char *codec_name, int zerolatency, int gop) {
+  const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+  if (!codec) return nullptr;
+  Encoder *e = new Encoder();
+  e->ctx = avcodec_alloc_context3(codec);
+  if (!e->ctx) { delete e; return nullptr; }
+  e->width = width;
+  e->height = height;
+  e->ctx->width = width;
+  e->ctx->height = height;
+  e->ctx->time_base = AVRational{1000, (int)(fps * 1000 + 0.5)};
+  e->ctx->framerate = AVRational{(int)(fps * 1000 + 0.5), 1000};
+  e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->ctx->gop_size = gop > 0 ? gop : (int)(fps + 0.5);
+  e->ctx->max_b_frames = zerolatency ? 0 : 2;
+  e->ctx->thread_count = 2;
+  if (bitrate_bps > 0) {
+    // VBV-constrained "CBR": cap the instantaneous rate at the target and
+    // give the leaky bucket one second of budget — the same contract as the
+    // reference's V4L2_MPEG_VIDEO_BITRATE_MODE_CBR (JetsonEncoder.cpp:76-84).
+    e->ctx->bit_rate = bitrate_bps;
+    e->ctx->rc_max_rate = bitrate_bps;
+    e->ctx->rc_buffer_size = (int)bitrate_bps;
+  }
+  if (codec->id == AV_CODEC_ID_H264 || codec->id == AV_CODEC_ID_HEVC) {
+    av_opt_set(e->ctx->priv_data, "preset", "veryfast", 0);
+    if (zerolatency)
+      av_opt_set(e->ctx->priv_data, "tune", "zerolatency", 0);
+    if (bitrate_bps > 0 && codec->id == AV_CODEC_ID_H264)
+      av_opt_set(e->ctx->priv_data, "x264-params", "nal-hrd=cbr", 0);
+  }
+  if (avcodec_open2(e->ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&e->ctx);
+    delete e;
+    return nullptr;
+  }
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = width;
+  e->frame->height = height;
+  if (av_frame_get_buffer(e->frame, 0) < 0) {
+    avcodec_free_context(&e->ctx);
+    av_frame_free(&e->frame);
+    delete e;
+    return nullptr;
+  }
+  e->pkt = av_packet_alloc();
+  e->sws = sws_getContext(width, height, AV_PIX_FMT_BGR24, width, height,
+                          AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+                          nullptr);
+  return e;
+}
+
+// Encode one BGR24 frame (height*width*3 bytes, row-major). Appends the
+// resulting Annex-B bytes (zero or more NAL units; SPS/PPS in-band at each
+// IDR) into `out`. `force_key != 0` forces this frame to be an IDR (used
+// when a new streaming client joins, RTSPServer.cpp:95 shared-factory
+// semantics). Returns byte count (>=0) or <0 on error (-3: out_cap too
+// small).
+int vs_enc_encode(void *handle, const uint8_t *bgr, int force_key,
+                  uint8_t *out, int out_cap, int *is_key) {
+  Encoder *e = (Encoder *)handle;
+  if (is_key) *is_key = 0;
+  if (av_frame_make_writable(e->frame) < 0) return -1;
+  const uint8_t *src[1] = {bgr};
+  int src_stride[1] = {e->width * 3};
+  sws_scale(e->sws, src, src_stride, 0, e->height, e->frame->data,
+            e->frame->linesize);
+  e->frame->pts = e->pts++;
+  e->frame->pict_type = force_key ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
+  if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;
+  return drain_packets(e->ctx, e->pkt, out, out_cap, is_key, &e->bytes_out);
+}
+
+// Drain the encoder at end of stream. Returns bytes written (0 when fully
+// drained) or <0 on error. Call repeatedly until it returns 0.
+int vs_enc_flush(void *handle, uint8_t *out, int out_cap, int *is_key) {
+  Encoder *e = (Encoder *)handle;
+  if (is_key) *is_key = 0;
+  avcodec_send_frame(e->ctx, nullptr);  // EOF (idempotent)
+  return drain_packets(e->ctx, e->pkt, out, out_cap, is_key, &e->bytes_out);
+}
+
+int64_t vs_enc_bytes_out(void *handle) {
+  return ((Encoder *)handle)->bytes_out;
+}
+
+void vs_enc_close(void *handle) {
+  Encoder *e = (Encoder *)handle;
+  if (!e) return;
+  if (e->sws) sws_freeContext(e->sws);
+  if (e->frame) av_frame_free(&e->frame);
+  if (e->pkt) av_packet_free(&e->pkt);
+  if (e->ctx) avcodec_free_context(&e->ctx);
+  delete e;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder (Annex-B byte stream in, BGR24 frames out)
+// ---------------------------------------------------------------------------
+
+void *vs_dec_open(const char *codec_name) {
+  const AVCodec *codec =
+      std::strcmp(codec_name, "h264") == 0
+          ? avcodec_find_decoder(AV_CODEC_ID_H264)
+          : (std::strcmp(codec_name, "hevc") == 0
+                 ? avcodec_find_decoder(AV_CODEC_ID_HEVC)
+                 : avcodec_find_decoder_by_name(codec_name));
+  if (!codec) return nullptr;
+  Decoder *d = new Decoder();
+  d->ctx = avcodec_alloc_context3(codec);
+  d->parser = av_parser_init(codec->id);
+  if (!d->ctx || !d->parser || avcodec_open2(d->ctx, codec, nullptr) < 0) {
+    if (d->parser) av_parser_close(d->parser);
+    if (d->ctx) avcodec_free_context(&d->ctx);
+    delete d;
+    return nullptr;
+  }
+  d->frame = av_frame_alloc();
+  d->pkt = av_packet_alloc();
+  return d;
+}
+
+namespace {
+
+// Move every frame the codec has ready onto the Decoder's queue.
+int queue_ready_frames(Decoder *d) {
+  for (;;) {
+    int ret = avcodec_receive_frame(d->ctx, d->frame);
+    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+    if (ret < 0) return -1;
+    d->ready.push_back(av_frame_clone(d->frame));
+    av_frame_unref(d->frame);
+  }
+}
+
+}  // namespace
+
+// Feed `size` bytes of Annex-B stream; the whole input is always consumed
+// and decoded frames queue internally. `eof != 0` drains the parser +
+// codec (end of stream). If a frame is queued, the OLDEST one is converted
+// to BGR24 into `bgr_out` (capacity `cap`), *out_w/*out_h set. Returns:
+//   1  a frame was written (call again with size=0 to pull the next)
+//   0  no frame available
+//  -1  decode error      -3  bgr_out too small
+int vs_dec_decode(void *handle, const uint8_t *data, int size, int eof,
+                  uint8_t *bgr_out, int64_t cap, int *out_w, int *out_h) {
+  Decoder *d = (Decoder *)handle;
+
+  const uint8_t *p = data;
+  int remaining = size;
+  while (remaining > 0 || (eof && !d->eof_sent)) {
+    uint8_t *pkt_data = nullptr;
+    int pkt_size = 0;
+    int used = av_parser_parse2(d->parser, d->ctx, &pkt_data, &pkt_size, p,
+                                remaining, AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
+    if (used < 0) return -1;
+    p += used;
+    remaining -= used;
+    if (pkt_size > 0) {
+      d->pkt->data = pkt_data;
+      d->pkt->size = pkt_size;
+      if (avcodec_send_packet(d->ctx, d->pkt) < 0) return -1;
+      if (queue_ready_frames(d) < 0) return -1;
+    } else if (remaining <= 0 && eof) {
+      avcodec_send_packet(d->ctx, nullptr);  // EOF -> drain codec
+      d->eof_sent = true;
+      if (queue_ready_frames(d) < 0) return -1;
+      break;
+    }
+    if (remaining <= 0) break;
+  }
+  if (d->eof_sent) queue_ready_frames(d);
+
+  if (d->ready.empty()) return 0;
+  AVFrame *f = d->ready.front();
+  int w = f->width, h = f->height;
+  if ((int64_t)w * h * 3 > cap) return -3;
+  if (!d->sws || d->sws_w != w || d->sws_h != h) {
+    if (d->sws) sws_freeContext(d->sws);
+    d->sws = sws_getContext(w, h, (AVPixelFormat)f->format, w, h,
+                            AV_PIX_FMT_BGR24, SWS_BILINEAR, nullptr, nullptr,
+                            nullptr);
+    d->sws_w = w;
+    d->sws_h = h;
+  }
+  uint8_t *dst[1] = {bgr_out};
+  int dst_stride[1] = {w * 3};
+  sws_scale(d->sws, f->data, f->linesize, 0, h, dst, dst_stride);
+  *out_w = w;
+  *out_h = h;
+  d->ready.pop_front();
+  av_frame_free(&f);
+  return 1;
+}
+
+void vs_dec_close(void *handle) {
+  Decoder *d = (Decoder *)handle;
+  if (!d) return;
+  for (AVFrame *f : d->ready) av_frame_free(&f);
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->parser) av_parser_close(d->parser);
+  if (d->frame) av_frame_free(&d->frame);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->ctx) avcodec_free_context(&d->ctx);
+  delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Annex-B NAL scanner (compressed-domain passthrough support,
+// GstdManager.cpp:155-180 — relay H.264 without decode).
+// Returns the number of NAL start positions found (up to max_nals); writes
+// byte offsets of each start code into `offsets`.
+// ---------------------------------------------------------------------------
+int vs_annexb_scan(const uint8_t *data, int64_t size, int64_t *offsets,
+                   int max_nals) {
+  int n = 0;
+  for (int64_t i = 0; i + 3 < size && n < max_nals; ++i) {
+    if (data[i] == 0 && data[i + 1] == 0 &&
+        (data[i + 2] == 1 ||
+         (data[i + 2] == 0 && i + 4 < size && data[i + 3] == 1))) {
+      offsets[n++] = i;
+      i += 2;
+    }
+  }
+  return n;
+}
+
+}  // extern "C"
