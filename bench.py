@@ -35,6 +35,8 @@ import numpy as np
 SCAN_K_1080 = 240     # frames per dispatch (8 s of 30 fps video)
 SCAN_K_4K = 120
 SCAN_K_MULTI = 120
+DEADLINE_S = 420      # wall-clock budget: headline first, extras if time
+                      # remains (full-step compiles run minutes on this box)
 
 
 def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
@@ -173,26 +175,40 @@ def _transfer_gbps():
 
 
 def main():
+    t_start = time.perf_counter()
     import jax
+
+    # Persistent compilation cache: the scan programs are identical across
+    # rounds; a warm cache turns minutes of compile into seconds.
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    def budget_left():
+        return DEADLINE_S - (time.perf_counter() - t_start)
 
     platform = jax.devices()[0].platform
     up_gbps, down_gbps = _transfer_gbps()
     # Degradation windows last minutes; wait briefly for a healthy window.
     attempts = 0
-    while min(up_gbps, down_gbps) < 2.0 and attempts < 2:
-        time.sleep(60)
+    while min(up_gbps, down_gbps) < 2.0 and attempts < 1:
+        time.sleep(30)
         up_gbps, down_gbps = _transfer_gbps()
         attempts += 1
     degraded = min(up_gbps, down_gbps) < 2.0
     iters = 2 if degraded else 4
 
     # Scan-amortized throughput: measures the device in any window.
+    # Headline (1080p) first; extras only while the deadline allows.
     fps_1080, ms_1080 = _bench_scan(1080, 1920, SCAN_K_1080, iters)
-    fps_4k, ms_4k = _bench_scan(2160, 3840, SCAN_K_4K, iters)
-    fps_multi, _ = _bench_scan(1080, 1920, SCAN_K_MULTI, iters, n_streams=8)
+    fps_4k = ms_4k = fps_multi = None
+    if budget_left() > 150:
+        fps_4k, ms_4k = _bench_scan(2160, 3840, SCAN_K_4K, iters)
+    if budget_left() > 150:
+        fps_multi, _ = _bench_scan(1080, 1920, SCAN_K_MULTI, iters,
+                                   n_streams=8)
 
     # Healthy windows only: per-dispatch latency + full-frame delivery.
-    if degraded:
+    if degraded or budget_left() < 90:
         ms_dispatch = None
         fps_del = None
     else:
@@ -205,9 +221,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_1080 / 30.0, 3),
         "ms_per_frame_1080p_amortized": round(ms_1080, 4),
-        "fps_4k": round(fps_4k, 2),
-        "ms_per_frame_4k_amortized": round(ms_4k, 4),
-        "fps_8x1080p_aggregate": round(fps_multi, 2),
+        "fps_4k": round(fps_4k, 2) if fps_4k else None,
+        "ms_per_frame_4k_amortized": round(ms_4k, 4) if ms_4k else None,
+        "fps_8x1080p_aggregate": round(fps_multi, 2) if fps_multi else None,
         "scan_frames_per_dispatch": SCAN_K_1080,
         "p50_ms_per_frame_1080p_per_dispatch": (
             round(ms_dispatch, 3) if ms_dispatch else None),

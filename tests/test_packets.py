@@ -1,0 +1,176 @@
+"""Compressed-domain passthrough tests (io/packets.py): byte-identical
+H.264 relay with no decode — the GstdManager passthrough semantics
+(GstdManager.cpp:155-180, README_GSTD_INTERPIPE.md:157)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_stab_tpu.io import codec as vcodec
+
+pytestmark = pytest.mark.skipif(
+    not vcodec.available(), reason="native codec layer unavailable")
+
+
+@pytest.fixture(scope="module")
+def h264_file(tmp_path_factory):
+    """A real H.264 elementary stream written by the native encoder."""
+    path = str(tmp_path_factory.mktemp("pkt") / "src.h264")
+    enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=800_000)
+    yy, xx = np.mgrid[0:240, 0:320]
+    with open(path, "wb") as f:
+        for i in range(48):
+            base = ((yy + xx + 4 * i) % 256).astype(np.uint8)
+            frame = np.stack([base, base, 255 - base], -1)
+            f.write(enc.encode(frame))
+        f.write(enc.flush())
+    enc.close()
+    return path
+
+
+class TestPassthrough:
+    def test_byte_identical_relay_no_decode(self, h264_file, tmp_path):
+        """Passthrough relays the bitstream byte-for-byte and constructs
+        no decoder (the reference's whole point: ~0 processing cost)."""
+        from video_stab_tpu.io.packets import (PacketFileSink, PacketRelay,
+                                               PacketSource)
+        out_path = str(tmp_path / "relay.h264")
+        src = PacketSource(h264_file)
+        sink = PacketFileSink(out_path)
+        relay = PacketRelay(src, sinks=[sink]).start()
+        relay.join()
+        sink.close()
+        src.stop()
+        with open(h264_file, "rb") as a, open(out_path, "rb") as b:
+            assert a.read() == b.read()
+        assert relay.units_relayed == 48      # one AU per encoded frame
+
+    def test_access_unit_grouping(self, h264_file):
+        """One access unit per coded picture: the unit's first VCL NAL has
+        first_mb_in_slice==0, follow-on slices (x264 sliced-threads) stay
+        in the same unit, non-VCL NALs (SPS/PPS/SEI) attach forward."""
+        from video_stab_tpu.io.packets import (VCL_TYPES, PacketSource,
+                                               _starts_new_picture)
+        src = PacketSource(h264_file)
+        aus = []
+        while True:
+            au = src.read()
+            if au is None:
+                break
+            aus.append(au)
+        src.stop()
+        assert len(aus) == 48
+        for au in aus:
+            vcl = [n for n in au if vcodec.nal_type(n) in VCL_TYPES]
+            assert len(vcl) >= 1
+            assert _starts_new_picture(vcl[0])
+            assert not any(_starts_new_picture(n) for n in vcl[1:])
+        # SPS/PPS precede the first IDR inside the first unit
+        types0 = [vcodec.nal_type(n) for n in aus[0]]
+        assert 7 in types0 and 8 in types0 and 5 in types0
+
+    def test_decoder_bridge_lazy_and_switch(self, h264_file, tmp_path):
+        """Mode switch: passthrough first (no decoder), then the SAME
+        packet feed is routed into the decoder bridge — the listen-to
+        switch of GstdManager.cpp:324-327 in the packet domain."""
+        from video_stab_tpu.io.packets import (PacketDecoderBridge,
+                                               PacketFileSink, PacketSource)
+        src = PacketSource(h264_file)
+        bridge = PacketDecoderBridge()
+        sink = PacketFileSink(str(tmp_path / "tail.h264"))
+        frames = []
+        mode = "passthrough"
+        i = 0
+        while True:
+            au = src.read()
+            if au is None:
+                break
+            if mode == "passthrough":
+                sink.write(au)
+                assert not bridge.decoder_constructed
+            else:
+                frames += bridge.decode_unit(au)
+            i += 1
+            if i == 24:
+                mode = "processing"   # the hot switch
+        frames += bridge.flush()
+        src.stop()
+        sink.close()
+        bridge.close()
+        assert sink.units_written == 24
+        # Decoding mid-stream picks up from the next IDR; with gop=30 the
+        # switch at AU 24 recovers at AU 30 -> 18 frames.
+        assert len(frames) >= 12, len(frames)
+        assert frames[0].shape == (240, 320, 3)
+
+    def test_chunk_boundaries_robust(self, h264_file):
+        """Access units parse identically for any read granularity."""
+        from video_stab_tpu.io.packets import PacketSource
+        def read_all(chunk):
+            src = PacketSource(h264_file, chunk_size=chunk)
+            units = []
+            while True:
+                au = src.read()
+                if au is None:
+                    break
+                units.append(b"".join(au))
+            src.stop()
+            return units
+        assert read_all(7) == read_all(1 << 20)
+
+
+class TestRTSPPacketRelay:
+    def test_rtsp_passthrough_to_cv2(self, h264_file):
+        """Compressed passthrough all the way to a real client: file ->
+        PacketRelay -> RTSPServer.push_packet (no re-encode) -> cv2/ffmpeg
+        decodes. The full GstdManager passthrough graph."""
+        import threading
+        import time
+
+        import cv2
+
+        from video_stab_tpu.io.packets import PacketRelay, PacketSource
+        from video_stab_tpu.io.rtsp import RTSPServer
+        server = RTSPServer(port=18555, mount="/pass", fps=30).start()
+        stop = threading.Event()
+
+        def loop_relay():
+            while not stop.is_set():
+                src = PacketSource(h264_file, realtime_fps=60)
+                relay = PacketRelay(src, sinks=[server]).start()
+                relay.join()
+                src.stop()
+
+        class _SinkAdapter:   # RTSPServer.write is push_frame; use packets
+            def write(self, au):
+                server.push_packet(au)
+
+        def loop_relay2():
+            while not stop.is_set():
+                src = PacketSource(h264_file, realtime_fps=60)
+                relay = PacketRelay(src, sinks=[_SinkAdapter()]).start()
+                relay.join()
+                src.stop()
+
+        t = threading.Thread(target=loop_relay2, daemon=True)
+        t.start()
+        try:
+            os.environ["OPENCV_FFMPEG_CAPTURE_OPTIONS"] = \
+                "rtsp_transport;tcp"
+            cap = cv2.VideoCapture(server.url, cv2.CAP_FFMPEG)
+            assert cap.isOpened()
+            got = 0
+            deadline = time.time() + 20
+            while got < 5 and time.time() < deadline:
+                ok, frame = cap.read()
+                if ok:
+                    assert frame.shape == (240, 320, 3)
+                    got += 1
+            cap.release()
+            assert got >= 5, f"only {got} frames"
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            server.close()
+            os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)

@@ -172,6 +172,30 @@ class RTSPServer(FrameSink):
 
     write = push_frame
 
+    def push_packet(self, au) -> None:
+        """Relay a pre-encoded access unit (list of Annex-B NALs) to all
+        playing clients WITHOUT re-encoding — the compressed-domain
+        passthrough tail (GstdManager.cpp:213-229's interpipesrc->
+        rtspclientsink output pipeline). Mixes freely with push_frame as
+        long as only one producer is active at a time."""
+        nals = list(au)
+        if self._sprop is None:
+            sps = next((n for n in nals if nal_type(n) == 7), None)
+            pps = next((n for n in nals if nal_type(n) == 8), None)
+            if sps and pps:
+                self._sprop = (
+                    base64.b64encode(_strip_start_code(sps)).decode() + ","
+                    + base64.b64encode(_strip_start_code(pps)).decode())
+        self._ts = (self._ts + RTP_CLOCK // self.fps) & 0xFFFFFFFF
+        self.frames_pushed += 1
+        with self._slock:
+            sessions = [s for s in self._sessions.values() if s.playing]
+        for s in sessions:
+            s.send_access_unit(nals, self._ts)
+        with self._slock:
+            for sid in [sid for sid, s in self._sessions.items() if s.dead]:
+                del self._sessions[sid]
+
     # -- SDP ----------------------------------------------------------------
     def _sdp(self, host: str) -> str:
         fmtp = f"a=fmtp:{RTP_PT} packetization-mode=1"

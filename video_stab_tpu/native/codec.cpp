@@ -245,8 +245,12 @@ int vs_dec_decode(void *handle, const uint8_t *data, int size, int eof,
     if (pkt_size > 0) {
       d->pkt->data = pkt_data;
       d->pkt->size = pkt_size;
-      if (avcodec_send_packet(d->ctx, d->pkt) < 0) return -1;
-      if (queue_ready_frames(d) < 0) return -1;
+      // A failed send (mid-stream join before the first IDR, bit errors)
+      // is recoverable: drop the packet and resynchronize at the next
+      // keyframe, as any streaming client does.
+      if (avcodec_send_packet(d->ctx, d->pkt) >= 0) {
+        if (queue_ready_frames(d) < 0) return -1;
+      }
     } else if (remaining <= 0 && eof) {
       avcodec_send_packet(d->ctx, nullptr);  // EOF -> drain codec
       d->eof_sent = true;
