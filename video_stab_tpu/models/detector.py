@@ -87,6 +87,33 @@ def create_detector(cfg: DetectorConfig = DetectorConfig(), seed: int = 0,
     return model, params
 
 
+BUNDLED_WEIGHTS = "centernet_traffic.msgpack"
+
+
+def save_detector(params, path: str) -> None:
+    """Serialize detector weights (flax msgpack)."""
+    from flax import serialization
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_detector(path: str, cfg: DetectorConfig = DetectorConfig(),
+                  height: int = 384, width: int = 640, seed: int = 0):
+    """Load weights saved by save_detector into a fresh template."""
+    from flax import serialization
+    model, params = create_detector(cfg, seed=seed, height=height,
+                                    width=width)
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+    return model, params
+
+
+def bundled_weights_path() -> str:
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", BUNDLED_WEIGHTS)
+
+
 def _nms_peaks(heat: jnp.ndarray) -> jnp.ndarray:
     """3x3 max-pool NMS on the class heatmaps (B, Hs, Ws, C)."""
     pooled = nn.max_pool(heat, (3, 3), strides=(1, 1), padding="SAME")

@@ -1,0 +1,229 @@
+"""Synthetic traffic-scene renderer: structured training/eval data for the
+detector + tracker stack.
+
+The reference ships TrafficCamNet weights trained on real traffic footage
+(include/video/DeepStreamTracker.h:50-52); no labeled real data exists in
+this environment, so the framework bundles weights trained on these
+procedurally rendered scenes — cars, bicycles, people and roadsigns with
+internal structure (windows, wheels, limbs) over textured road scenes —
+and a quality gate (tests/test_models.py) asserting recall/precision on
+held-out scenes plus stable track IDs on a rendered clip. Swapping in real
+data is a data change, not a code change: `render_scene` returns the same
+(frame, boxes) contract a COCO/KITTI loader would.
+
+Classes match TRAFFICCAMNET_LABELS: car=0, bicycle=1, person=2, roadsign=3.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["render_scene", "render_clip", "make_detection_batch"]
+
+
+def _clip_int(v, lo, hi):
+    return int(max(lo, min(hi, v)))
+
+
+def _draw_car(img, rng, cx, cy, scale):
+    """Side-view car: body, cabin, windows, two wheels. Returns bbox."""
+    import cv2
+    w = int(44 * scale)
+    h = int(18 * scale)
+    cab_h = int(10 * scale)
+    wheel_r = max(2, int(4 * scale))
+    color = tuple(int(c) for c in rng.integers(60, 255, 3))
+    dark = tuple(int(c * 0.35) for c in color)
+    x0, y0 = int(cx - w / 2), int(cy - h / 2)
+    # body
+    cv2.rectangle(img, (x0, y0 + cab_h // 2), (x0 + w, y0 + h), color, -1)
+    # cabin
+    cv2.rectangle(img, (x0 + w // 5, y0), (x0 + 4 * w // 5, y0 + cab_h),
+                  color, -1)
+    # windows
+    win = tuple(int(c) for c in rng.integers(140, 220, 3))
+    cv2.rectangle(img, (x0 + w // 4, y0 + 1), (x0 + w // 2 - 1, y0 + cab_h - 1),
+                  win, -1)
+    cv2.rectangle(img, (x0 + w // 2 + 1, y0 + 1),
+                  (x0 + 3 * w // 4, y0 + cab_h - 1), win, -1)
+    # wheels
+    wy = y0 + h
+    cv2.circle(img, (x0 + w // 4, wy), wheel_r, (25, 25, 25), -1)
+    cv2.circle(img, (x0 + 3 * w // 4, wy), wheel_r, (25, 25, 25), -1)
+    cv2.circle(img, (x0 + w // 4, wy), max(1, wheel_r // 2), dark, -1)
+    cv2.circle(img, (x0 + 3 * w // 4, wy), max(1, wheel_r // 2), dark, -1)
+    return (x0, y0, w, h + wheel_r)
+
+
+def _draw_person(img, rng, cx, cy, scale):
+    import cv2
+    h = int(26 * scale)
+    w = max(4, int(8 * scale))
+    color = tuple(int(c) for c in rng.integers(40, 230, 3))
+    skin = (140, 170, 210)
+    head_r = max(2, int(3.5 * scale))
+    x0, y0 = int(cx - w / 2), int(cy - h / 2)
+    cv2.circle(img, (int(cx), y0 + head_r), head_r, skin, -1)
+    cv2.rectangle(img, (x0, y0 + 2 * head_r), (x0 + w, y0 + int(h * 0.65)),
+                  color, -1)
+    leg = tuple(int(c * 0.6) for c in color)
+    lw = max(1, w // 3)
+    cv2.rectangle(img, (x0, y0 + int(h * 0.65)), (x0 + lw, y0 + h), leg, -1)
+    cv2.rectangle(img, (x0 + w - lw, y0 + int(h * 0.65)), (x0 + w, y0 + h),
+                  leg, -1)
+    return (x0, y0 - head_r // 2, w, h + head_r // 2)
+
+
+def _draw_bicycle(img, rng, cx, cy, scale):
+    import cv2
+    r = max(3, int(6 * scale))
+    gap = int(16 * scale)
+    color = tuple(int(c) for c in rng.integers(60, 255, 3))
+    y = int(cy + r // 2)
+    x1, x2 = int(cx - gap / 2), int(cx + gap / 2)
+    cv2.circle(img, (x1, y), r, (30, 30, 30), 1 + int(scale))
+    cv2.circle(img, (x2, y), r, (30, 30, 30), 1 + int(scale))
+    cv2.line(img, (x1, y), (int(cx), y - r), color, 1 + int(scale))
+    cv2.line(img, (x2, y), (int(cx), y - r), color, 1 + int(scale))
+    cv2.line(img, (int(cx), y - r), (int(cx - gap / 4), y - r - r // 2),
+             color, 1 + int(scale))
+    x0 = x1 - r
+    y0 = y - r - int(r * 1.5)
+    return (x0, y0, gap + 2 * r, 2 * r + int(r * 1.5))
+
+
+def _draw_roadsign(img, rng, cx, cy, scale):
+    import cv2
+    r = max(3, int(6 * scale))
+    pole_h = int(14 * scale)
+    col = [(60, 60, 230), (230, 140, 40), (60, 200, 230)][
+        int(rng.integers(0, 3))]
+    cv2.line(img, (int(cx), int(cy)), (int(cx), int(cy + pole_h)),
+             (90, 90, 90), 1 + int(scale * 0.7))
+    cv2.circle(img, (int(cx), int(cy)), r, col, -1)
+    cv2.circle(img, (int(cx), int(cy)), r, (250, 250, 250), 1)
+    return (int(cx - r), int(cy - r), 2 * r, 2 * r + pole_h)
+
+
+_DRAWERS = (_draw_car, _draw_bicycle, _draw_person, _draw_roadsign)
+
+
+def _background(rng, h, w):
+    """Sky gradient + road plane + lane dashes + texture noise."""
+    import cv2
+    horizon = int(h * rng.uniform(0.25, 0.5))
+    sky_top = rng.integers(120, 240, 3).astype(np.float32)
+    sky_bot = sky_top * rng.uniform(0.6, 0.95)
+    road = rng.uniform(70, 120)
+    img = np.zeros((h, w, 3), np.float32)
+    t = (np.arange(horizon, dtype=np.float32) / max(horizon - 1, 1))[:, None,
+                                                                     None]
+    img[:horizon] = sky_top * (1 - t) + sky_bot * t
+    shade = (np.arange(h - horizon, dtype=np.float32)
+             / max(h - horizon - 1, 1))[:, None, None]
+    img[horizon:] = road * (0.8 + 0.4 * shade)
+    # lane markings
+    lane_y = horizon + int((h - horizon) * rng.uniform(0.3, 0.8))
+    for x in range(0, w, 30):
+        cv2.line(img, (x, lane_y), (x + 14, lane_y),
+                 (220.0, 220.0, 220.0), 2)
+    img += rng.normal(0, 6, (h, w, 3)).astype(np.float32)
+    return img, horizon
+
+
+def render_scene(rng: np.random.Generator, h: int = 192, w: int = 320,
+                 n_objects: Optional[int] = None,
+                 classes: Tuple[int, ...] = (0, 1, 2, 3),
+                 ) -> Tuple[np.ndarray, List[Tuple[int, float, float, float,
+                                                   float]]]:
+    """One scene. Returns (frame u8 BGR (h,w,3), boxes) where boxes are
+    (class_id, x, y, bw, bh) in pixels."""
+    import cv2
+    img, horizon = _background(rng, h, w)
+    n = int(rng.integers(1, 5)) if n_objects is None else n_objects
+    boxes = []
+    for _ in range(n):
+        cls = int(rng.choice(classes))
+        scale = float(rng.uniform(0.7, 2.2))
+        cx = float(rng.uniform(30, w - 30))
+        cy = float(rng.uniform(horizon + 5, h - 25))
+        bbox = _DRAWERS[cls](img, rng, cx, cy, scale)
+        x, y, bw, bh = bbox
+        # keep boxes that are mostly inside the frame
+        if x < -bw * 0.2 or y < -bh * 0.2 or x + bw > w * 1.05 \
+                or y + bh > h * 1.05 or bw < 6 or bh < 6:
+            continue
+        boxes.append((cls, float(x), float(y), float(bw), float(bh)))
+    # photometric jitter
+    img = img * rng.uniform(0.8, 1.15) + rng.uniform(-12, 12)
+    if rng.random() < 0.3:
+        img = cv2.GaussianBlur(img, (3, 3), 0)
+    return np.clip(img, 0, 255).astype(np.uint8), boxes
+
+
+def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
+                w: int = 320, n_objects: int = 2,
+                classes: Tuple[int, ...] = (0,)):
+    """A clip with objects moving at constant velocity — ground truth for
+    tracker tests (stable IDs). Returns (frames, per-frame boxes)."""
+    import cv2
+    base_rng = np.random.default_rng(int(rng.integers(0, 2 ** 31)))
+    bg, horizon = _background(base_rng, h, w)
+    objs = []
+    for _ in range(n_objects):
+        cls = int(rng.choice(classes))
+        scale = float(rng.uniform(1.0, 1.8))
+        cy = float(rng.uniform(horizon + 15, h - 30))
+        going_right = bool(rng.random() < 0.5)
+        cx = 40.0 if going_right else w - 40.0
+        vx = float(rng.uniform(1.0, 2.5)) * (1 if going_right else -1)
+        seed = int(rng.integers(0, 2 ** 31))
+        objs.append([cls, cx, cy, vx, scale, seed])
+    frames, all_boxes = [], []
+    for t in range(n_frames):
+        img = bg.copy()
+        boxes = []
+        for cls, cx, cy, vx, scale, seed in objs:
+            obj_rng = np.random.default_rng(seed)   # stable appearance
+            x = cx + vx * t
+            if 20 < x < w - 20:
+                bbox = _DRAWERS[cls](img, obj_rng, x, cy, scale)
+                boxes.append((cls, *map(float, bbox)))
+        img = img + base_rng.normal(0, 2, (h, w, 3))
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+        all_boxes.append(boxes)
+    return frames, all_boxes
+
+
+def make_detection_batch(rng: np.random.Generator, batch: int, height: int,
+                         width: int, num_classes: int):
+    """Rendered scenes + CenterNet targets (drop-in for
+    train.synthetic_detection_batch, same contract)."""
+    from video_stab_tpu.models.detector import STRIDE
+
+    hs, ws = height // STRIDE, width // STRIDE
+    frames = np.zeros((batch, height, width, 3), np.float32)
+    heat = np.zeros((batch, hs, ws, num_classes), np.float32)
+    size = np.zeros((batch, hs, ws, 2), np.float32)
+    offset = np.zeros((batch, hs, ws, 2), np.float32)
+    mask = np.zeros((batch, hs, ws, 1), np.float32)
+    yy, xx = np.mgrid[0:hs, 0:ws]
+    for b in range(batch):
+        frame, boxes = render_scene(rng, height, width)
+        frames[b] = frame.astype(np.float32)
+        for cls, x, y, bw, bh in boxes:
+            gx = (x + bw / 2) / STRIDE
+            gy = (y + bh / 2) / STRIDE
+            ix, iy = int(gx), int(gy)
+            if not (0 <= ix < ws and 0 <= iy < hs):
+                continue
+            sigma = max(1.0, min(bw, bh) / STRIDE / 6.0)
+            g = np.exp(-((xx - gx) ** 2 + (yy - gy) ** 2) / (2 * sigma ** 2))
+            heat[b, :, :, cls] = np.maximum(heat[b, :, :, cls], g)
+            size[b, iy, ix] = (bw / STRIDE, bh / STRIDE)
+            offset[b, iy, ix] = (gx - ix, gy - iy)
+            mask[b, iy, ix] = 1.0
+    return frames, {"heatmap": heat, "size": size, "offset": offset,
+                    "mask": mask}

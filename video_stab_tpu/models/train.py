@@ -127,19 +127,30 @@ def synthetic_detection_batch(rng: np.random.Generator, batch: int,
 
 def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
                    width: int = 160, mesh: Optional[Mesh] = None,
-                   log_every: int = 10, seed: int = 0):
-    """Short self-contained training run (used by tests and the CLI)."""
+                   log_every: int = 10, seed: int = 0,
+                   use_scenes: bool = False, save_path: str = "",
+                   lr: float = 1e-3):
+    """Self-contained training run (tests, CLI, and weight production).
+
+    ``use_scenes=True`` trains on rendered traffic scenes (models/scenes.py)
+    — the curriculum behind the bundled ``centernet_traffic`` weights;
+    False keeps the fast flat-box batch for smoke tests."""
     cfg = DetectorConfig()
     model, params = create_detector(cfg, seed=seed, height=height, width=width)
     mesh = mesh or make_train_mesh(model_parallel=1)
     params = shard_params(params, mesh)
-    opt = optax.adamw(1e-3)
+    sched = optax.cosine_decay_schedule(lr, max(n_steps, 1), alpha=0.05)
+    opt = optax.adamw(sched)
     opt_state = opt.init(params)
     step = make_detector_train_step(model, opt, mesh)
     rng = np.random.default_rng(seed)
+    make_batch = synthetic_detection_batch
+    if use_scenes:
+        from video_stab_tpu.models.scenes import make_detection_batch
+        make_batch = make_detection_batch
     losses = []
     for i in range(n_steps):
-        frames, targets = synthetic_detection_batch(
+        frames, targets = make_batch(
             rng, batch, height, width, cfg.num_classes)
         params, opt_state, loss = step(params, opt_state,
                                        jnp.asarray(frames),
@@ -147,8 +158,58 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
                                                               targets))
         losses.append(float(loss))
         if log_every and i % log_every == 0:
-            print(f"[train_detector] step {i} loss {losses[-1]:.4f}")
+            print(f"[train_detector] step {i} loss {losses[-1]:.4f}",
+                  flush=True)
+    if save_path:
+        from video_stab_tpu.models.detector import save_detector
+        save_detector(jax.device_get(params), save_path)
     return model, params, losses
+
+
+def evaluate_detector(model, params, n_scenes: int = 32, height: int = 192,
+                      width: int = 320, iou_thresh: float = 0.5,
+                      score_thresh: float = 0.35, seed: int = 9999,
+                      class_agnostic: bool = False):
+    """Recall/precision on held-out rendered scenes — the quality gate the
+    reference never had for its TrafficCamNet stage. Matching: greedy IoU
+    >= iou_thresh (and class match unless class_agnostic)."""
+    from video_stab_tpu.models.detector import detect
+    from video_stab_tpu.models.scenes import render_scene
+
+    rng = np.random.default_rng(seed)
+    tp = fp = fn = 0
+    for _ in range(n_scenes):
+        frame, gt = render_scene(rng, height, width)
+        out = detect(model, params, jnp.asarray(frame[None], jnp.float32),
+                     score_thresh)
+        valid = np.asarray(out["valid"][0])
+        bbox = np.asarray(out["bbox"][0])[valid]
+        cls = np.asarray(out["class_id"][0])[valid]
+        used = np.zeros(len(bbox), bool)
+        for gcls, gx, gy, gw, gh in gt:
+            best, best_iou = -1, iou_thresh
+            for i in range(len(bbox)):
+                if used[i] or (not class_agnostic and cls[i] != gcls):
+                    continue
+                x, y, w_, h_ = bbox[i]
+                ix0, iy0 = max(x, gx), max(y, gy)
+                ix1 = min(x + w_, gx + gw)
+                iy1 = min(y + h_, gy + gh)
+                inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+                union = w_ * h_ + gw * gh - inter
+                iou = inter / union if union > 0 else 0.0
+                if iou > best_iou:
+                    best, best_iou = i, iou
+            if best >= 0:
+                used[best] = True
+                tp += 1
+            else:
+                fn += 1
+        fp += int((~used).sum())
+    recall = tp / max(tp + fn, 1)
+    precision = tp / max(tp + fp, 1)
+    return {"recall": recall, "precision": precision, "tp": tp, "fp": fp,
+            "fn": fn}
 
 
 def dryrun_train_step(devices: Optional[Sequence] = None) -> None:

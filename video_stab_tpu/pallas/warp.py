@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: full-frame affine warp (the emit hot path).
+
+Replaces the XLA ``warp_affine_tiled`` formulation (ops/warp.py) on TPU:
+that one extracts per-tile slabs with vmapped dynamic slices, which XLA
+lowers to slab gathers — measured 18.7 ms for a 1080p×3 warp on a v5e. Here
+the padded source plane sits ENTIRELY in VMEM (a 1080p u8 plane padded for
+the shift envelope is ~3.3 MB of the ~16 MB budget), the kernel walks
+(8, 128) output tiles with one in-VMEM dynamic slice each, and exact
+bilinear reconstruction is a static sum of hat-weighted shifted views —
+the same math as ops/warp.py:153-255, executed at VPU speed with zero HBM
+gathers.
+
+u8 in / u8 out by design: the reference's whole pipeline operates on CV_8U
+mats (cv::warpAffine on 8U, src/Stabilizer.cpp:1024-1060), so integer
+quantization at the warp boundary is reference-faithful, and u8 planes are
+what make the whole-plane-in-VMEM layout fit.
+
+Envelope contract (same as ops/warp.py): |rotation| <= max_angle_deg,
+translation <= max_shift px. Stabilizer corrections sit far inside it;
+beyond it the sample clamps to the envelope pad (degraded, not unsafe).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
+                                     invert_affine)
+
+TH, TW = 8, 128         # output tile = one VPU vreg of f32
+
+
+def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
+    """Static shift-term counts for the (TH, TW) tile under the rotation
+    envelope (sin bounds the off-diagonals, 1-cos the diagonal deviation).
+    Mirrors ops/warp.py:194-198."""
+    s = abs(math.sin(math.radians(float(max_angle_deg))))
+    ry = int(np.ceil(s * (TW - 1) + (s ** 2) * TH + 1)) + 2
+    rx = int(np.ceil(s * (TH - 1) + (s ** 2) * TW + 1)) + 2
+    return ry, rx
+
+
+def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
+                 out_w: int, img_h: int, img_w: int, pad_y: int, pad_x: int,
+                 ry_terms: int, rx_terms: int):
+    """One grid step = one channel plane. img_ref: (1, Hp, Wp) u8 padded
+    plane in VMEM; out_ref: (1, out_h, out_w) u8; m_ref: (1, 6) f32 inverse
+    map in SMEM; acc_ref: (TH, TW) f32 scratch accumulator."""
+    a_ = m_ref[0, 0]
+    b_ = m_ref[0, 1]
+    c_ = m_ref[0, 2]
+    d_ = m_ref[0, 3]
+    e_ = m_ref[0, 4]
+    f_ = m_ref[0, 5]
+
+    sh = TH + ry_terms - 1          # slab rows needed by the static taps
+    sw = TW + rx_terms - 1
+    # Mosaic requires aligned vector-load starts: load at the (8, 128)
+    # alignment floor and rotate the residual away in-register (dynamic
+    # pltpu.roll), so the slab must also cover the worst-case residual.
+    sh_a = -(-(sh + 7) // 8) * 8
+    sw_a = -(-(sw + 127) // 128) * 128
+
+    nty = out_h // TH
+    ntx = out_w // TW
+
+    dy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
+    dx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
+
+    def tile_body(idx, _):
+        ty = idx // ntx
+        tx = idx % ntx
+        y0 = (ty * TH).astype(jnp.float32)
+        x0 = (tx * TW).astype(jnp.float32)
+        sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
+        sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
+        # Base = floor of the min residual (source minus local output
+        # coordinate); invariant: qy - dy in [0, ry_terms) for in-envelope
+        # maps (ops/warp.py:226-233).
+        base_y = jnp.floor(jnp.min(sy - dy)).astype(jnp.int32)
+        base_x = jnp.floor(jnp.min(sx - dx)).astype(jnp.int32)
+        base_y = jnp.clip(base_y, -pad_y, img_h + pad_y - sh_a)
+        base_x = jnp.clip(base_x, -pad_x, img_w + pad_x - sw_a)
+        start_y = base_y + pad_y
+        start_x = base_x + pad_x
+        sy_al = pl.multiple_of((start_y // 8) * 8, 8)
+        sx_al = pl.multiple_of((start_x // 128) * 128, 128)
+        # Mosaic has no direct u8<->f32 casts (hop through int32) and no
+        # i8 dynamic rotate — convert first, then rotate the alignment
+        # residual to row/col 0 so the static taps index from the true base.
+        slab = img_ref[0, pl.ds(sy_al, sh_a), pl.ds(sx_al, sw_a)
+                       ].astype(jnp.int32).astype(jnp.float32)
+        slab = pltpu.roll(slab, (sh_a - (start_y - sy_al)) % sh_a, 0)
+        slab = pltpu.roll(slab, (sw_a - (start_x - sx_al)) % sw_a, 1)
+        qy = sy - base_y.astype(jnp.float32)
+        qx = sx - base_x.astype(jnp.float32)
+        # Hoist the x-taps (shared across every ry term).
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
+               for rx in range(rx_terms)]
+        acc_ref[...] = jnp.zeros((TH, TW), jnp.float32)
+        for ry in range(ry_terms):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
+
+            # Typical stabilizing corrections (<1 deg) light up only ~3 of
+            # the worst-case ry terms; skip dead rows at runtime.
+            @pl.when(jnp.max(wy) > 0.0)
+            def _(ry=ry, wy=wy):
+                inner = jnp.zeros((TH, TW), jnp.float32)
+                for rx in range(rx_terms):
+                    inner = inner + wxs[rx] * slab[ry:ry + TH, rx:rx + TW]
+                acc_ref[...] = acc_ref[...] + wy * inner
+
+        out_ref[0, pl.ds(ty * TH, TH), pl.ds(tx * TW, TW)] = (
+            jnp.clip(acc_ref[...] + 0.5, 0.0, 255.0)
+            .astype(jnp.int32).astype(jnp.uint8))
+        return ()
+
+    jax.lax.fori_loop(0, nty * ntx, tile_body, (), unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_h", "out_w", "border_mode", "border_value", "inverse_map",
+    "max_angle_deg", "max_shift", "interpret"))
+def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
+                   out_h: int | None = None, out_w: int | None = None,
+                   border_mode: int = BORDER_CONSTANT,
+                   border_value: float = 0.0,
+                   inverse_map: bool = False,
+                   max_angle_deg: float = 6.0,
+                   max_shift: int = 128,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Pallas full-frame affine warp, u8 HWC in -> u8 HWC out.
+
+    Drop-in for ``warp_affine_tiled(img_f32, m).astype(u8)`` within the
+    envelope; cv2 semantics (dst(x,y) = src(M^-1 (x,y)), bilinear,
+    saturate_cast rounding).
+    """
+    out_h = out_h if out_h is not None else img.shape[0]
+    out_w = out_w if out_w is not None else img.shape[1]
+    minv = m if inverse_map else invert_affine(m)
+    mvec = jnp.reshape(minv.astype(jnp.float32), (1, 6))
+
+    has_c = img.ndim == 3
+    if not has_c:
+        img = img[:, :, None]
+    img = img.astype(jnp.uint8)
+    h, w, ch = img.shape
+
+    ry_terms, rx_terms = _envelope_terms(max_angle_deg)
+    sh_a = -(-(TH + ry_terms - 1) // 8) * 8
+    sw_a = -(-(TW + rx_terms - 1) // 128) * 128
+    # Pad covers max_shift + one tile + slab-alignment overhang.
+    pad_y = max_shift + TH + sh_a + 2
+    pad_x = max_shift + TW + sw_a + 2
+    widths = ((pad_y, pad_y), (pad_x, pad_x), (0, 0))
+    if border_mode == BORDER_CONSTANT:
+        imgp = jnp.pad(img, widths,
+                       constant_values=np.uint8(np.clip(border_value, 0,
+                                                        255)))
+    else:
+        imgp = jnp.pad(img, widths, mode=_pad_mode(border_mode))
+    imgp = jnp.transpose(imgp, (2, 0, 1))       # planar (C, Hp, Wp)
+
+    oh_a = -(-out_h // TH) * TH
+    ow_a = -(-out_w // TW) * TW
+
+    kern = functools.partial(
+        _warp_kernel, out_h=oh_a, out_w=ow_a, img_h=h, img_w=w,
+        pad_y=pad_y, pad_x=pad_x, ry_terms=ry_terms, rx_terms=rx_terms)
+    out = pl.pallas_call(
+        kern,
+        grid=(ch,),
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, imgp.shape[1], imgp.shape[2]),
+                         lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, oh_a, ow_a), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((TH, TW), jnp.float32)],
+        interpret=interpret,
+    )(mvec, imgp)
+    out = jnp.transpose(out, (1, 2, 0))[:out_h, :out_w]
+    return out if has_c else out[:, :, 0]
