@@ -325,3 +325,35 @@ class TestAppWithTracker:
             time.sleep(0.5)
         app.stop()
         assert sink.count >= 3, sink.count
+
+
+class TestKeyboardControls:
+    def test_dispatch(self):
+        """Keyboard map mirrors vsg.cpp:1426-1451: p/r/s/q + ESC."""
+        from video_stab_tpu.io.control import KeyboardController
+        hits = []
+        kc = KeyboardController(lambda: hits.append("p"),
+                                lambda: hits.append("r"),
+                                lambda: hits.append("s"),
+                                lambda: hits.append("q"))
+        for k in ["p", "r", "s", "q", "\x1b", "x"]:
+            kc.handle_key(k)
+        assert hits == ["p", "r", "s", "q", "q"]
+
+    def test_app_mode_switch_via_keys(self, tmp_path):
+        """p/r re-point the output pipeline's listen-to channel — the
+        seamless switch (GstdManager.cpp:324-327)."""
+        import dataclasses
+
+        from video_stab_tpu.core.params import ModeParams
+        from video_stab_tpu.io.runner import StabilizerApp
+        from video_stab_tpu.utils.config import AppConfig
+        cfg = dataclasses.replace(
+            AppConfig(), video_source="synthetic:64x48",
+            mode=ModeParams(enhancer_enabled=True))
+        app = StabilizerApp(cfg, sink=None, fused=False)
+        assert app.graph.pipeline("output").listen_to == "processed"
+        app.switch_passthrough()
+        assert app.graph.pipeline("output").listen_to == "source"
+        app.switch_processing()
+        assert app.graph.pipeline("output").listen_to == "processed"

@@ -1,6 +1,8 @@
 """Learned-component tests: detector decode, tracker association, training
 convergence (tiny shapes — CPU CI)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -156,3 +158,52 @@ class TestBundledDeepStab:
             return float(np.mean(d))
 
         assert je(outs[2:]) < je(frames) * 0.7
+
+
+class TestBundledDetector:
+    """Quality gate for the bundled traffic weights — the reference ships
+    working TrafficCamNet defaults (DeepStreamTracker.h:50-52); our
+    counterpart must actually detect on held-out rendered scenes and hold
+    stable track IDs on a moving clip."""
+
+    @pytest.fixture(scope="class")
+    def bundled(self):
+        from video_stab_tpu.models.detector import (bundled_weights_path,
+                                                    load_detector)
+        path = bundled_weights_path()
+        if not os.path.exists(path):
+            pytest.skip("bundled detector weights not present")
+        return load_detector(path, height=192, width=320)
+
+    def test_recall_precision_floor(self, bundled):
+        from video_stab_tpu.models.train import evaluate_detector
+        model, params = bundled
+        m = evaluate_detector(model, params, n_scenes=12, seed=4242)
+        assert m["recall"] >= 0.6, m
+        assert m["precision"] >= 0.5, m
+
+    def test_stable_track_ids_on_moving_clip(self, bundled):
+        from video_stab_tpu.models.detector import bundled_weights_path
+        from video_stab_tpu.models.scenes import render_clip
+        from video_stab_tpu.models.tracker import ObjectTracker, TrackerParams
+
+        rng = np.random.default_rng(31)
+        frames, gt = render_clip(rng, n_frames=30, h=192, w=320,
+                                 n_objects=1, classes=(0,))
+        tracker = ObjectTracker(
+            TrackerParams(processing_width=320, processing_height=192,
+                          confidence_threshold=0.35, min_hits=2),
+            async_mode=False)
+        from video_stab_tpu.models.detector import load_detector
+        _, tracker._dp = load_detector(bundled_weights_path(),
+                                       height=192, width=320)
+        ids_seen = []
+        for f in frames:
+            dets = tracker.process_frame(f)
+            for d in dets:
+                ids_seen.append(d.track_id)
+        tracker.release()
+        assert ids_seen, "tracker produced no confirmed tracks"
+        # One moving object -> one dominant ID across the clip.
+        ids, counts = np.unique(ids_seen, return_counts=True)
+        assert counts.max() >= len(frames) * 0.5, (ids, counts)

@@ -49,7 +49,7 @@ from video_stab_tpu.ops.color import saturate_u8
 from video_stab_tpu.ops.warp import (
     BORDER_REPLICATE,
     rotation_matrix_2d,
-    warp_affine_tiled,
+    warp_affine_fast,
 )
 
 
@@ -93,8 +93,8 @@ def _pre_stages(params: ChainParams, state: ChainState,
         rot = rotation_matrix_2d(w / 2.0, h / 2.0, roll_state.smoothed_angle)
         # Roll angles are EMA-clamped well under 12 deg (RollCorrection.cpp
         # 124-136); tiled warp = exact bilinear at ~8x the gather speed.
-        f = warp_affine_tiled(f, rot, border_mode=BORDER_REPLICATE,
-                              max_angle_deg=12.0, max_shift=128)
+        f = warp_affine_fast(f, rot, border_mode=BORDER_REPLICATE,
+                             max_angle_deg=12.0, max_shift=128)
         if params.azc.enabled:
             # Remove the rotation's black corners before stabilization
             # (roll-correction-file.cpp:61-68); input size kept static.

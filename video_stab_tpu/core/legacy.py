@@ -30,7 +30,7 @@ from video_stab_tpu.ops.lk import lk_track
 from video_stab_tpu.ops.warp import (
     border_mode_from_name,
     similarity_matrix,
-    warp_affine_tiled,
+    warp_affine_fast,
 )
 
 
@@ -163,16 +163,16 @@ def legacy_emit_step_fn(params: LegacyStabilizerParams, state: LegacyState,
         # (b/2, b/2) and keeps the original size.
         m = similarity_matrix(correction[0] + b, correction[1] + b,
                               correction[2])
-        canvas = warp_affine_tiled(frame, m, out_h=h + 2 * b,
-                                   out_w=w + 2 * b,
-                                   border_mode=border_mode,
-                                   max_shift=max(128, 2 * b))
+        canvas = warp_affine_fast(frame, m, out_h=h + 2 * b,
+                                  out_w=w + 2 * b,
+                                  border_mode=border_mode,
+                                  max_shift=max(128, 2 * b))
         cx = min(max(0, b // 2), 2 * b)
         cy = min(max(0, b // 2), 2 * b)
         out = canvas[cy:cy + h, cx:cx + w] if b > 0 else canvas
     else:
         m = similarity_matrix(correction[0], correction[1], correction[2])
-        out = warp_affine_tiled(frame, m, border_mode=border_mode)
+        out = warp_affine_fast(frame, m, border_mode=border_mode)
 
     out_u8 = saturate_u8(out)
     return state._replace(emit_idx=e + 1), out_u8

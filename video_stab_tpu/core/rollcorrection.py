@@ -29,7 +29,7 @@ from video_stab_tpu.ops.resize import resize_bilinear
 from video_stab_tpu.ops.warp import (
     BORDER_REPLICATE,
     rotation_matrix_2d,
-    warp_affine_tiled,
+    warp_affine_fast,
 )
 
 
@@ -84,8 +84,8 @@ def roll_correct_step(params: RollCorrectionParams, state: RollState,
     h, w = frame.shape[:2]
     state = estimate_roll_angle(params, state, frame)
     rot = rotation_matrix_2d(w / 2.0, h / 2.0, state.smoothed_angle)
-    out = warp_affine_tiled(frame, rot, border_mode=BORDER_REPLICATE,
-                            max_angle_deg=12.0, max_shift=128)
+    out = warp_affine_fast(frame, rot, border_mode=BORDER_REPLICATE,
+                           max_angle_deg=12.0, max_shift=128)
     return state, saturate_u8(out)
 
 

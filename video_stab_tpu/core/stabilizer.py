@@ -65,7 +65,7 @@ from video_stab_tpu.ops.resize import resize_bilinear
 from video_stab_tpu.ops.warp import (
     BORDER_CONSTANT,
     similarity_matrix,
-    warp_affine_tiled,
+    warp_affine_fast,
 )
 
 
@@ -390,8 +390,8 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         # Tiled slice-based warp: exact bilinear, ~8x faster than the XLA
         # gather formulation at 1080p (ops/warp.py). Envelope: stabilizing
         # corrections are small rotations + bounded translations.
-        return warp_affine_tiled(image, t_mat, border_mode=BORDER_CONSTANT,
-                                 max_angle_deg=6.0, max_shift=128)
+        return warp_affine_fast(image, t_mat, border_mode=BORDER_CONSTANT,
+                                max_angle_deg=6.0, max_shift=128)
 
     q = state.frame_ring.shape[0]
     frame = state.frame_ring[e % q].astype(jnp.float32)

@@ -216,3 +216,64 @@ class ConfigRestServer:
 
 # Alias preserving the reference's (misspelled) class name for API parity.
 TcpReciever = TcpReceiver
+
+
+class KeyboardController:
+    """Interactive runtime controls — the reference's keyboard handler
+    (examples/vsg.cpp:1426-1451): p = passthrough, r = processing,
+    s = status, q/ESC = quit. Reads raw single keys from a TTY stdin on a
+    daemon thread; a no-op when stdin is not a terminal (services, tests).
+    """
+
+    def __init__(self, on_passthrough, on_processing, on_status, on_quit):
+        import sys
+        self._cb = {"p": on_passthrough, "r": on_processing,
+                    "s": on_status, "q": on_quit, "\x1b": on_quit}
+        self._stop = threading.Event()
+        self._thread = None
+        self._tty = False
+        try:
+            self._tty = sys.stdin.isatty()
+        except Exception:
+            pass
+
+    def start(self) -> "KeyboardController":
+        if not self._tty:
+            return self
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="keyboard")
+        self._thread.start()
+        return self
+
+    def _run(self):
+        import select
+        import sys
+        import termios
+        import tty
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            while not self._stop.is_set():
+                ready, _, _ = select.select([fd], [], [], 0.2)
+                if not ready:
+                    continue
+                key = sys.stdin.read(1)
+                cb = self._cb.get(key)
+                if cb is not None:
+                    cb()
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+    def handle_key(self, key: str) -> bool:
+        """Dispatch one key programmatically (testable without a TTY)."""
+        cb = self._cb.get(key)
+        if cb is None:
+            return False
+        cb()
+        return True
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=1.0)

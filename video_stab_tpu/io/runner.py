@@ -29,7 +29,8 @@ from video_stab_tpu.core.enhancer import Enhancer
 from video_stab_tpu.core.rollcorrection import RollCorrection
 from video_stab_tpu.core.stabilizer import Stabilizer
 from video_stab_tpu.io.channels import StreamGraph
-from video_stab_tpu.io.control import ConfigRestServer, TcpReceiver
+from video_stab_tpu.io.control import (ConfigRestServer, KeyboardController,
+                                       TcpReceiver)
 from video_stab_tpu.io.sinks import FrameSink, open_sink
 from video_stab_tpu.io.sources import SourceParams, open_source
 from video_stab_tpu.utils.config import AppConfig, ConfigWatcher, load_config
@@ -199,12 +200,28 @@ class StabilizerApp:
         self._frames_out += 1
         return frame
 
+    # -- interactive controls (vsg.cpp:1426-1451) ---------------------------
+    def switch_passthrough(self):
+        self.graph.set_listen_to("output", "source")
+
+    def switch_processing(self):
+        self.graph.set_listen_to("output", "processed")
+
+    def print_status(self):
+        import json
+        print(json.dumps({"pipelines": self.graph.pipeline_list(),
+                          "metrics": self.metrics.snapshot()},
+                         indent=2, default=str))
+
     # -- lifecycle ---------------------------------------------------------
     def start(self):
         self.source.start()
         self.graph.start()
         if self.watcher:
             self.watcher.start()
+        self.keyboard = KeyboardController(
+            self.switch_passthrough, self.switch_processing,
+            self.print_status, self._stop.set).start()
         return self
 
     def run(self, duration: float = 0.0):
@@ -223,6 +240,8 @@ class StabilizerApp:
 
     def stop(self):
         self._stop.set()
+        if getattr(self, "keyboard", None):
+            self.keyboard.stop()
         if self.watcher:
             self.watcher.stop()
         if self.tcp:

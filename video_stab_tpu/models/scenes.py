@@ -222,6 +222,10 @@ def make_detection_batch(rng: np.random.Generator, batch: int, height: int,
             sigma = max(1.0, min(bw, bh) / STRIDE / 6.0)
             g = np.exp(-((xx - gx) ** 2 + (yy - gy) ** 2) / (2 * sigma ** 2))
             heat[b, :, :, cls] = np.maximum(heat[b, :, :, cls], g)
+            # CenterNet convention: the center pixel is an EXACT 1.0 —
+            # the focal loss's positive set is {target >= 0.999}, and a
+            # fractional-center gaussian peaks below it.
+            heat[b, iy, ix, cls] = 1.0
             size[b, iy, ix] = (bw / STRIDE, bh / STRIDE)
             offset[b, iy, ix] = (gx - ix, gy - iy)
             mask[b, iy, ix] = 1.0

@@ -117,6 +117,9 @@ def synthetic_detection_batch(rng: np.random.Generator, batch: int,
                 g = np.exp(-((xx - gx) ** 2 + (yy - gy) ** 2)
                            / (2 * sigma ** 2))
                 heat[b, :, :, c] = np.maximum(heat[b, :, :, c], g)
+                # exact 1.0 at the center pixel: the focal loss's positive
+                # set is {target >= 0.999} (CenterNet convention).
+                heat[b, iy, ix, c] = 1.0
                 size[b, iy, ix] = (bw / STRIDE, bh / STRIDE)
                 offset[b, iy, ix] = (gx - ix, gy - iy)
                 mask[b, iy, ix] = 1.0

@@ -17,6 +17,7 @@ from video_stab_tpu.ops.color import (
 from video_stab_tpu.ops.resize import resize_bilinear, pyr_down, build_pyramid
 from video_stab_tpu.ops.warp import (
     warp_affine,
+    warp_affine_fast,
     warp_affine_tiled,
     warp_perspective,
     invert_affine,
@@ -62,7 +63,7 @@ __all__ = [
     "bgr_to_gray", "gray_to_bgr", "bgr_to_hsv", "hsv_to_bgr",
     "bgr_to_lab", "lab_to_bgr", "saturate_u8",
     "resize_bilinear", "pyr_down", "build_pyramid",
-    "warp_affine", "warp_affine_tiled", "warp_perspective", "invert_affine",
+    "warp_affine", "warp_affine_fast", "warp_affine_tiled", "warp_perspective", "invert_affine",
     "rotation_matrix_2d", "similarity_matrix",
     "remap_bilinear",
     "BORDER_CONSTANT", "BORDER_REPLICATE", "BORDER_REFLECT",

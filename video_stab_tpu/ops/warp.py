@@ -255,6 +255,37 @@ def warp_affine_tiled(img: jnp.ndarray, m: jnp.ndarray,
     return full if has_c else full[:, :, 0]
 
 
+def warp_affine_fast(img: jnp.ndarray, m: jnp.ndarray,
+                     out_h: int | None = None, out_w: int | None = None,
+                     border_mode: int = BORDER_CONSTANT,
+                     border_value: float = 0.0,
+                     max_angle_deg: float = 6.0,
+                     max_shift: int = 128) -> jnp.ndarray:
+    """u8-domain warp dispatcher for the hot per-frame paths.
+
+    On TPU: the Pallas whole-plane kernel (pallas/warp.py, ~3.5x faster
+    than the tiled XLA formulation and 1.5 s to compile instead of 36 s).
+    Elsewhere: warp_affine_tiled. Both paths quantize input and output to
+    u8 — exactly the reference's CV_8U cv::warpAffine semantics
+    (src/Stabilizer.cpp:1024-1060) — and return float32 holding integers
+    so downstream math is unchanged.
+    """
+    from video_stab_tpu.pallas import on_tpu
+    if img.dtype != jnp.uint8:
+        img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    if on_tpu():
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        out = warp_affine_u8(img, m, out_h, out_w, border_mode,
+                             border_value, max_angle_deg=max_angle_deg,
+                             max_shift=max_shift)
+        return out.astype(jnp.float32)
+    out = warp_affine_tiled(img.astype(jnp.float32), m, out_h, out_w,
+                            border_mode, border_value,
+                            max_angle_deg=max_angle_deg,
+                            max_shift=max_shift)
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
 def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
                    border_mode: int = BORDER_REPLICATE,
                    border_value: float = 0.0) -> jnp.ndarray:

@@ -2,18 +2,22 @@
 
 Replaces the XLA ``warp_affine_tiled`` formulation (ops/warp.py) on TPU:
 that one extracts per-tile slabs with vmapped dynamic slices, which XLA
-lowers to slab gathers — measured 18.7 ms for a 1080p×3 warp on a v5e. Here
-the padded source plane sits ENTIRELY in VMEM (a 1080p u8 plane padded for
-the shift envelope is ~3.3 MB of the ~16 MB budget), the kernel walks
-(8, 128) output tiles with one in-VMEM dynamic slice each, and exact
-bilinear reconstruction is a static sum of hat-weighted shifted views —
-the same math as ops/warp.py:153-255, executed at VPU speed with zero HBM
-gathers.
+lowers to slab gathers — measured 18.7 ms for a 1080p×3 warp on a v5e.
+
+Layout: the padded u8 source is processed as overlapping FULL-HEIGHT COLUMN
+STRIPS (``pl.Element`` block indexing), one grid step per (channel, strip).
+A strip plus its halo is a few MB of the ~16 MB VMEM budget at any
+resolution up to 4K — the halo covers the rotation envelope's x-deviation
+across the full image height (|sin| * H) plus the translation budget. The
+kernel walks (8, 128) output tiles inside the strip: one aligned in-VMEM
+dynamic slice each (+ dynamic roll for the alignment residual), then exact
+bilinear reconstruction as a static sum of hat-weighted shifted views —
+the same math as ops/warp.py:153-255 at VPU speed with zero HBM gathers.
 
 u8 in / u8 out by design: the reference's whole pipeline operates on CV_8U
 mats (cv::warpAffine on 8U, src/Stabilizer.cpp:1024-1060), so integer
-quantization at the warp boundary is reference-faithful, and u8 planes are
-what make the whole-plane-in-VMEM layout fit.
+quantization at the warp boundary is reference-faithful, and u8 strips are
+what keep the VMEM working set small.
 
 Envelope contract (same as ops/warp.py): |rotation| <= max_angle_deg,
 translation <= max_shift px. Stabilizer corrections sit far inside it;
@@ -35,6 +39,7 @@ from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
                                      invert_affine)
 
 TH, TW = 8, 128         # output tile = one VPU vreg of f32
+STRIP_W = 512           # output columns per grid step
 
 
 def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
@@ -48,11 +53,15 @@ def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
 
 
 def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
-                 out_w: int, img_h: int, img_w: int, pad_y: int, pad_x: int,
-                 ry_terms: int, rx_terms: int):
-    """One grid step = one channel plane. img_ref: (1, Hp, Wp) u8 padded
-    plane in VMEM; out_ref: (1, out_h, out_w) u8; m_ref: (1, 6) f32 inverse
-    map in SMEM; acc_ref: (TH, TW) f32 scratch accumulator."""
+                 pad_y: int, halo_x: int, strip_in_w: int,
+                 ry_terms: int, rx_terms: int, sh_a: int, sw_a: int):
+    """One grid step = one (channel, column strip).
+
+    img_ref: (1, Hp, strip_in_w) u8 — the strip plus halo_x on each side,
+    already offset so in-strip x index = out_x - strip_x0 + halo_x.
+    out_ref: (1, out_h, STRIP_W) u8. m_ref: (1, 6) f32 inverse map in SMEM.
+    acc_ref: (TH, TW) f32 scratch accumulator.
+    """
     a_ = m_ref[0, 0]
     b_ = m_ref[0, 1]
     c_ = m_ref[0, 2]
@@ -60,16 +69,11 @@ def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
     e_ = m_ref[0, 4]
     f_ = m_ref[0, 5]
 
-    sh = TH + ry_terms - 1          # slab rows needed by the static taps
-    sw = TW + rx_terms - 1
-    # Mosaic requires aligned vector-load starts: load at the (8, 128)
-    # alignment floor and rotate the residual away in-register (dynamic
-    # pltpu.roll), so the slab must also cover the worst-case residual.
-    sh_a = -(-(sh + 7) // 8) * 8
-    sw_a = -(-(sw + 127) // 128) * 128
+    strip = pl.program_id(1)
+    strip_x0 = (strip * STRIP_W).astype(jnp.float32)
 
     nty = out_h // TH
-    ntx = out_w // TW
+    ntx = STRIP_W // TW
 
     dy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
     dx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
@@ -78,7 +82,7 @@ def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
         ty = idx // ntx
         tx = idx % ntx
         y0 = (ty * TH).astype(jnp.float32)
-        x0 = (tx * TW).astype(jnp.float32)
+        x0 = strip_x0 + (tx * TW).astype(jnp.float32)
         sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
         sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
         # Base = floor of the min residual (source minus local output
@@ -86,10 +90,11 @@ def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
         # maps (ops/warp.py:226-233).
         base_y = jnp.floor(jnp.min(sy - dy)).astype(jnp.int32)
         base_x = jnp.floor(jnp.min(sx - dx)).astype(jnp.int32)
-        base_y = jnp.clip(base_y, -pad_y, img_h + pad_y - sh_a)
-        base_x = jnp.clip(base_x, -pad_x, img_w + pad_x - sw_a)
-        start_y = base_y + pad_y
-        start_x = base_x + pad_x
+        # Slice starts within this strip's VMEM block; clamp to stay
+        # in-bounds (out-of-envelope maps degrade, never read OOB).
+        start_y = jnp.clip(base_y + pad_y, 0, img_ref.shape[1] - sh_a)
+        start_x = jnp.clip(
+            base_x - (strip * STRIP_W) + halo_x, 0, strip_in_w - sw_a)
         sy_al = pl.multiple_of((start_y // 8) * 8, 8)
         sx_al = pl.multiple_of((start_x // 128) * 128, 128)
         # Mosaic has no direct u8<->f32 casts (hop through int32) and no
@@ -99,8 +104,8 @@ def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
                        ].astype(jnp.int32).astype(jnp.float32)
         slab = pltpu.roll(slab, (sh_a - (start_y - sy_al)) % sh_a, 0)
         slab = pltpu.roll(slab, (sw_a - (start_x - sx_al)) % sw_a, 1)
-        qy = sy - base_y.astype(jnp.float32)
-        qx = sx - base_x.astype(jnp.float32)
+        qy = sy - (start_y - pad_y).astype(jnp.float32)
+        qx = sx - (start_x - halo_x + strip * STRIP_W).astype(jnp.float32)
         # Hoist the x-taps (shared across every ry term).
         wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
                for rx in range(rx_terms)]
@@ -153,13 +158,32 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
     img = img.astype(jnp.uint8)
     h, w, ch = img.shape
 
+    s_env = abs(math.sin(math.radians(float(max_angle_deg))))
     ry_terms, rx_terms = _envelope_terms(max_angle_deg)
-    sh_a = -(-(TH + ry_terms - 1) // 8) * 8
-    sw_a = -(-(TW + rx_terms - 1) // 128) * 128
-    # Pad covers max_shift + one tile + slab-alignment overhang.
+    sh_a = -(-(TH + ry_terms - 1 + 7) // 8) * 8
+    sw_a = -(-(TW + rx_terms - 1 + 127) // 128) * 128
+
+    oh_a = -(-out_h // TH) * TH
+    ow_a = -(-out_w // STRIP_W) * STRIP_W
+    n_strips = ow_a // STRIP_W
+
+    # Vertical pad: translation budget + tile overhang + aligned-slice slack.
     pad_y = max_shift + TH + sh_a + 2
-    pad_x = max_shift + TW + sw_a + 2
-    widths = ((pad_y, pad_y), (pad_x, pad_x), (0, 0))
+    hp = h + 2 * pad_y
+    hp_pad_extra = (-hp) % 8
+    # Horizontal halo: translation budget + the envelope's x-deviation over
+    # the full height + slice width + alignment slack. The strip's VMEM
+    # block is [strip_x0 - halo_x, strip_x0 + STRIP_W + halo_x) in source
+    # coordinates, materialized by padding the image by exactly halo_x so
+    # every strip's Element offset (strip * STRIP_W) is in range.
+    halo_x = (max_shift + int(np.ceil(s_env * (oh_a + 2 * max_shift)))
+              + sw_a + 130)
+    halo_x = -(-halo_x // 128) * 128
+    strip_in_w = STRIP_W + 2 * halo_x
+    # Right pad additionally covers the output width overhang (ow_a > w).
+    pad_right = halo_x + (ow_a - w) + (-(w + 2 * halo_x + (ow_a - w)) % 128)
+
+    widths = ((pad_y, pad_y + hp_pad_extra), (halo_x, pad_right), (0, 0))
     if border_mode == BORDER_CONSTANT:
         imgp = jnp.pad(img, widths,
                        constant_values=np.uint8(np.clip(border_value, 0,
@@ -168,22 +192,23 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         imgp = jnp.pad(img, widths, mode=_pad_mode(border_mode))
     imgp = jnp.transpose(imgp, (2, 0, 1))       # planar (C, Hp, Wp)
 
-    oh_a = -(-out_h // TH) * TH
-    ow_a = -(-out_w // TW) * TW
-
     kern = functools.partial(
-        _warp_kernel, out_h=oh_a, out_w=ow_a, img_h=h, img_w=w,
-        pad_y=pad_y, pad_x=pad_x, ry_terms=ry_terms, rx_terms=rx_terms)
+        _warp_kernel, out_h=oh_a, pad_y=pad_y, halo_x=halo_x,
+        strip_in_w=strip_in_w, ry_terms=ry_terms, rx_terms=rx_terms,
+        sh_a=sh_a, sw_a=sw_a)
     out = pl.pallas_call(
         kern,
-        grid=(ch,),
+        grid=(ch, n_strips),
         in_specs=[
-            pl.BlockSpec((1, 6), lambda c: (0, 0),
+            pl.BlockSpec((1, 6), lambda c, s: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, imgp.shape[1], imgp.shape[2]),
-                         lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (pl.Blocked(1), pl.Blocked(imgp.shape[1]),
+                 pl.Element(strip_in_w)),
+                lambda c, s: (c, 0, s * STRIP_W),
+                memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, oh_a, ow_a), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, oh_a, STRIP_W), lambda c, s: (c, 0, s),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((TH, TW), jnp.float32)],
