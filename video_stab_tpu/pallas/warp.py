@@ -52,7 +52,7 @@ def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
     return ry, rx
 
 
-def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
+def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
                  pad_y: int, halo_x: int, strip_in_w: int,
                  ry_terms: int, rx_terms: int, sh_a: int, sw_a: int):
     """One grid step = one (channel, column strip).
@@ -60,7 +60,6 @@ def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
     img_ref: (1, Hp, strip_in_w) u8 — the strip plus halo_x on each side,
     already offset so in-strip x index = out_x - strip_x0 + halo_x.
     out_ref: (1, out_h, STRIP_W) u8. m_ref: (1, 6) f32 inverse map in SMEM.
-    acc_ref: (TH, TW) f32 scratch accumulator.
     """
     a_ = m_ref[0, 0]
     b_ = m_ref[0, 1]
@@ -106,24 +105,22 @@ def _warp_kernel(m_ref, img_ref, out_ref, acc_ref, *, out_h: int,
         slab = pltpu.roll(slab, (sw_a - (start_x - sx_al)) % sw_a, 1)
         qy = sy - (start_y - pad_y).astype(jnp.float32)
         qx = sx - (start_x - halo_x + strip * STRIP_W).astype(jnp.float32)
-        # Hoist the x-taps (shared across every ry term).
+        # Hoist the x-taps (shared across every ry term). Straight-line
+        # accumulation: a per-ry runtime skip (pl.when on max(wy)) measured
+        # 3.7x SLOWER — 34k vector-reduction branches flush the VPU
+        # pipeline; predictable MACs win.
         wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
                for rx in range(rx_terms)]
-        acc_ref[...] = jnp.zeros((TH, TW), jnp.float32)
+        acc = jnp.zeros((TH, TW), jnp.float32)
         for ry in range(ry_terms):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
-
-            # Typical stabilizing corrections (<1 deg) light up only ~3 of
-            # the worst-case ry terms; skip dead rows at runtime.
-            @pl.when(jnp.max(wy) > 0.0)
-            def _(ry=ry, wy=wy):
-                inner = jnp.zeros((TH, TW), jnp.float32)
-                for rx in range(rx_terms):
-                    inner = inner + wxs[rx] * slab[ry:ry + TH, rx:rx + TW]
-                acc_ref[...] = acc_ref[...] + wy * inner
+            inner = jnp.zeros((TH, TW), jnp.float32)
+            for rx in range(rx_terms):
+                inner = inner + wxs[rx] * slab[ry:ry + TH, rx:rx + TW]
+            acc = acc + wy * inner
 
         out_ref[0, pl.ds(ty * TH, TH), pl.ds(tx * TW, TW)] = (
-            jnp.clip(acc_ref[...] + 0.5, 0.0, 255.0)
+            jnp.clip(acc + 0.5, 0.0, 255.0)
             .astype(jnp.int32).astype(jnp.uint8))
         return ()
 
@@ -203,7 +200,7 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
             pl.BlockSpec((1, 6), lambda c, s: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (pl.Blocked(1), pl.Blocked(imgp.shape[1]),
+                (pl.Element(1), pl.Element(imgp.shape[1]),
                  pl.Element(strip_in_w)),
                 lambda c, s: (c, 0, s * STRIP_W),
                 memory_space=pltpu.VMEM),
@@ -211,7 +208,6 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         out_specs=pl.BlockSpec((1, oh_a, STRIP_W), lambda c, s: (c, 0, s),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((TH, TW), jnp.float32)],
         interpret=interpret,
     )(mvec, imgp)
     out = jnp.transpose(out, (1, 2, 0))[:out_h, :out_w]
