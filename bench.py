@@ -58,8 +58,11 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
     params = StabilizerParams(smoothing_radius=smoothing_radius)
     assert k >= params.effective_radius + 1
     rng = np.random.default_rng(0)
-    pool = jnp.asarray(
-        rng.integers(0, 255, (4, h, w, 3), dtype=np.uint8))
+    # The pool is a jit ARGUMENT (device-resident across calls), not a
+    # closed-over constant: baked-in multi-MB constants blow past the
+    # remote compiler's request-size limit at 4K (HTTP 413).
+    pool = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (4, h, w, 3), dtype=np.uint8)))
 
     def one_step(st, frame):
         st, out, _ready = stabilizer_step_fn(params, st, frame)
@@ -77,10 +80,10 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
             st, m = vstep(st, frame)
             return st, jnp.mean(m)
 
-    def scan_fn(st):
+    def scan_fn(st, frame_pool):
         def body(carry, i):
             frame = jax.lax.dynamic_index_in_dim(
-                pool, i % 4, keepdims=False)
+                frame_pool, i % 4, keepdims=False)
             return step(carry, frame)
 
         st, means = jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
@@ -88,11 +91,11 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
 
     scan_jit = jax.jit(scan_fn, donate_argnums=0)
     state = jax.device_put(state, jax.devices()[0])
-    state, m = scan_jit(state)          # compile + in-graph warm-up
+    state, m = scan_jit(state, pool)    # compile + in-graph warm-up
     float(m)    # force the VALUE: on this runtime block_until_ready can
     t0 = time.perf_counter()            # return before execution finishes
     for _ in range(n_iters):
-        state, m = scan_jit(state)
+        state, m = scan_jit(state, pool)
     float(m)
     dt = time.perf_counter() - t0
     frames = n_iters * k * n_streams

@@ -77,3 +77,37 @@ class TestEnhanceKernel:
         out = vp.enhance_pointwise(img, contrast=2.0)
         assert out.shape == (37, 128, 3)
         assert np.allclose(np.asarray(out), 200.0)
+
+
+class TestWarpKernel:
+    """pallas/warp.py — the emit hot path's full-frame affine warp
+    (interpret mode on CPU; bit-exact vs the XLA gather formulation on TPU,
+    measured 5.6 ms vs 18.7 ms at 1080p x3)."""
+
+    def _check(self, h, w, ang, tx, ty, seed=0):
+        from video_stab_tpu.ops.warp import warp_affine
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        m = jnp.array([[np.cos(ang), -np.sin(ang), tx],
+                       [np.sin(ang), np.cos(ang), ty]], jnp.float32)
+        ref = warp_affine(img.astype(jnp.float32), m)
+        ref_u8 = jnp.clip(jnp.round(ref), 0, 255).astype(jnp.uint8)
+        out = warp_affine_u8(img, m, interpret=True)
+        d = np.abs(np.asarray(out).astype(int)
+                   - np.asarray(ref_u8).astype(int))
+        assert d.max() == 0, (d.max(), (d > 0).mean())
+
+    def test_exact_vs_gather_reference(self):
+        self._check(24, 40, 0.04, 3.3, -2.2)
+
+    def test_non_tile_multiple_shape(self):
+        self._check(27, 133, -0.03, -5.0, 4.5, seed=2)
+
+    def test_identity_roundtrip(self):
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.integers(0, 255, (16, 130, 3), dtype=np.uint8))
+        m = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        out = warp_affine_u8(img, m, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))

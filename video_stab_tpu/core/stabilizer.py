@@ -394,7 +394,16 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                                 max_angle_deg=6.0, max_shift=128)
 
     q = state.frame_ring.shape[0]
-    frame = state.frame_ring[e % q].astype(jnp.float32)
+    # Stay u8 until a stage needs float math (fade blend, canvas) — the
+    # reference's pipeline is CV_8U end-to-end and warp_affine_fast takes
+    # u8 directly; the padded-f32 detour cost ~2 ms/frame at 1080p.
+    frame_u8 = state.frame_ring[e % q]
+    needs_f32 = (params.border_type == "fade"
+                 or (params.enable_virtual_canvas and not params.crop_n_zoom
+                     and params.motion_model != "homography")
+                 or params.motion_model == "homography")
+    frame = frame_u8.astype(jnp.float32) if needs_f32 \
+        else frame_u8
     h, w = frame.shape[0], frame.shape[1]
     b = params.border_pad
 
