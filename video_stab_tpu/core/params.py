@@ -55,6 +55,12 @@ class StabilizerParams:
     border_type: str = "black"       # black | reflect | reflect_101 | replicate | wrap | fade
     border_size: int = 0
     crop_n_zoom: bool = False
+    # Static rotation envelope (deg) of the emit warp kernel: corrections
+    # beyond it clamp (degrade, never crash). Post-smoothing corrections on
+    # real shake are well under 1 deg; 3 keeps the warp's tap count - and
+    # the per-frame cost, especially at 4K - half of what 6 costs. No
+    # reference counterpart (cv::warpAffine has no envelope).
+    warp_envelope_deg: float = 3.0
 
     smoothing_method: str = "box"    # box | gaussian | kalman
     gaussian_sigma: float = 2.0

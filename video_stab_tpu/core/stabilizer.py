@@ -387,11 +387,12 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
             from video_stab_tpu.ops.warp import warp_perspective
             return warp_perspective(image, h_corr,
                                     border_mode=BORDER_CONSTANT)
-        # Tiled slice-based warp: exact bilinear, ~8x faster than the XLA
-        # gather formulation at 1080p (ops/warp.py). Envelope: stabilizing
+        # Pallas strip warp on TPU (pallas/warp.py), XLA tiled elsewhere:
+        # exact bilinear inside the static envelope; stabilizing
         # corrections are small rotations + bounded translations.
         return warp_affine_fast(image, t_mat, border_mode=BORDER_CONSTANT,
-                                max_angle_deg=6.0, max_shift=128)
+                                max_angle_deg=params.warp_envelope_deg,
+                                max_shift=128)
 
     q = state.frame_ring.shape[0]
     # Stay u8 until a stage needs float math (fade blend, canvas) — the
