@@ -228,3 +228,29 @@ class TestRTSP:
         original = big[4:]
         reconstructed = bytes([(payload[0] & 0xE0) | (fu & 0x1F)]) + body
         assert reconstructed == original
+
+
+class TestContainerSink:
+    def test_mp4_h264_with_rate_control(self, tmp_path):
+        """open_sink('*.mp4') -> native H.264-in-MP4 with honored bitrate,
+        decodable by an independent decoder (cv2)."""
+        import cv2
+
+        from video_stab_tpu.io.sinks import ContainerSink, open_sink
+        path = str(tmp_path / "out.mp4")
+        sink = open_sink(path)
+        assert isinstance(sink, ContainerSink)
+        target = 1_000_000
+        sink.bitrate_bps = target
+        clip = make_clip(60)
+        for f in clip:
+            sink.write(f)
+        sink.close()
+        measured = os.path.getsize(path) * 8 / (len(clip) / 30)
+        assert 0.75 * target < measured < 1.35 * target, measured
+        cap = cv2.VideoCapture(path)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == len(clip)

@@ -50,7 +50,7 @@ def cmd_stabilize(args) -> int:
 
     from video_stab_tpu.core.params import StabilizerParams
     from video_stab_tpu.core.stabilizer import Stabilizer
-    from video_stab_tpu.io.sinks import EncoderParams, FileSink
+    from video_stab_tpu.io.sinks import open_sink
 
     cap = cv2.VideoCapture(args.input)
     if not cap.isOpened():
@@ -61,7 +61,7 @@ def cmd_stabilize(args) -> int:
         smoothing_radius=args.radius, border_type=args.border,
         border_size=args.border_size, crop_n_zoom=args.crop,
         smoothing_method=args.method))
-    sink = FileSink(args.output, EncoderParams(fps=fps))
+    sink = open_sink(args.output, fps=fps)
     n_in = n_out = 0
     t0 = time.perf_counter()
     while True:
@@ -93,7 +93,7 @@ def cmd_offline(args) -> int:
     import numpy as np
 
     from video_stab_tpu.core.params import StabilizerParams
-    from video_stab_tpu.io.sinks import EncoderParams, FileSink
+    from video_stab_tpu.io.sinks import open_sink
     from video_stab_tpu.offline import stabilize_clip
 
     cap = cv2.VideoCapture(args.input)
@@ -116,7 +116,7 @@ def cmd_offline(args) -> int:
         smoothing_radius=args.radius, smoothing_method=args.method,
         border_size=args.border_size, crop_n_zoom=args.crop))
     dt = time.perf_counter() - t0
-    sink = FileSink(args.output, EncoderParams(fps=fps))
+    sink = open_sink(args.output, fps=fps)
     for f in out:
         sink.write(f)
     sink.close()

@@ -79,6 +79,15 @@ def _load():
         lib.vs_annexb_scan.restype = c.c_int
         lib.vs_annexb_scan.argtypes = [c.c_char_p, c.c_int64,
                                        c.POINTER(c.c_int64), c.c_int]
+        lib.vs_mux_open.restype = c.c_void_p
+        lib.vs_mux_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_double,
+                                    c.c_int64, c.c_char_p, c.c_int, c.c_int]
+        lib.vs_mux_write.restype = c.c_int
+        lib.vs_mux_write.argtypes = [c.c_void_p, c.c_char_p]
+        lib.vs_mux_bytes_out.restype = c.c_int64
+        lib.vs_mux_bytes_out.argtypes = [c.c_void_p]
+        lib.vs_mux_close.restype = c.c_int
+        lib.vs_mux_close.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
 
@@ -230,6 +239,55 @@ class VideoDecoder:
         if self._h:
             self._lib.vs_dec_close(self._h)
             self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class ContainerWriter:
+    """H.264-in-MP4/MKV writer: native encode (honored CBR bitrate) + in-C
+    libavformat muxing. The proper-container half of the JetsonEncoder
+    role; containers get extradata-style headers (global_header) while the
+    streaming encoder keeps in-band SPS/PPS."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 30.0,
+                 bitrate_bps: int = 0, codec: str = "libx264",
+                 zerolatency: bool = False, gop: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native codec library unavailable")
+        self._lib = lib
+        self._h = lib.vs_mux_open(path.encode(), width, height, float(fps),
+                                  int(bitrate_bps), codec.encode(),
+                                  int(zerolatency), int(gop))
+        if not self._h:
+            raise RuntimeError(f"cannot open container writer for {path!r}")
+        self.path = path
+        self.width, self.height, self.fps = width, height, fps
+        self.frames_written = 0
+
+    def write(self, frame_bgr: np.ndarray) -> None:
+        frame_bgr = np.ascontiguousarray(frame_bgr, dtype=np.uint8)
+        assert frame_bgr.shape == (self.height, self.width, 3)
+        rc = self._lib.vs_mux_write(
+            self._h, frame_bgr.ctypes.data_as(ctypes.c_char_p))
+        if rc != 0:
+            raise RuntimeError(f"mux write failed ({rc})")
+        self.frames_written += 1
+
+    @property
+    def bytes_out(self) -> int:
+        return int(self._lib.vs_mux_bytes_out(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.vs_mux_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise RuntimeError(f"mux close failed ({rc})")
 
     def __del__(self):
         try:

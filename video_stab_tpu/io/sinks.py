@@ -145,6 +145,53 @@ class H264FileSink(FrameSink):
             self._file = None
 
 
+class ContainerSink(FrameSink):
+    """H.264-in-MP4/MKV writer with honored CBR bitrate (native encode +
+    in-C libavformat muxing). Falls back to the cv2 ``FileSink`` when the
+    native codec layer is unavailable — then without rate control, like
+    the reference on a box without its hardware encoder."""
+
+    def __init__(self, path: str, fps: float = 30.0, bitrate_bps: int = 0,
+                 codec: str = "libx264"):
+        self.path = path
+        self.fps = fps
+        self.bitrate_bps = bitrate_bps
+        self.codec = codec
+        self._writer = None
+        self._fallback: Optional[FileSink] = None
+        self.frames_written = 0
+
+    def write(self, frame: np.ndarray) -> None:
+        if self._fallback is not None:
+            self._fallback.write(frame)
+            self.frames_written += 1
+            return
+        if self._writer is None:
+            h, w = frame.shape[:2]
+            bps = self.bitrate_bps or bitrate_bps_app(w, h, int(self.fps))
+            try:
+                from video_stab_tpu.io.codec import ContainerWriter
+                self._writer = ContainerWriter(
+                    self.path, w, h, self.fps, bitrate_bps=bps,
+                    codec=self.codec)
+            except Exception:
+                self._fallback = FileSink(self.path,
+                                          EncoderParams(fps=self.fps))
+                self._fallback.write(frame)
+                self.frames_written += 1
+                return
+        self._writer.write(frame)
+        self.frames_written += 1
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        if self._fallback is not None:
+            self._fallback.close()
+            self._fallback = None
+
+
 class MJPEGServer(FrameSink):
     """Multipart-MJPEG HTTP streaming server with RTSPServer's API shape:
     construct with (port, mount), ``push_frame(frame)``, shared stream for
@@ -263,4 +310,6 @@ def open_sink(target: str, fps: float = 30.0) -> FrameSink:
         return MJPEGServer(port=port, mount="/" + (mount or "stream")).start()
     if target.endswith(".h264") or target.endswith(".264"):
         return H264FileSink(target, fps=fps)
+    if target.rsplit(".", 1)[-1].lower() in ("mp4", "mkv", "mov"):
+        return ContainerSink(target, fps=fps)
     return FileSink(target, EncoderParams(fps=fps))

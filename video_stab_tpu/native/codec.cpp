@@ -16,6 +16,7 @@
 
 extern "C" {
 #include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libswscale/swscale.h>
@@ -78,12 +79,17 @@ extern "C" {
 // Encoder
 // ---------------------------------------------------------------------------
 
+namespace {
+
 // codec_name: "libx264" | "libx265" | "mpeg4"... ; bitrate_bps > 0 enables
 // CBR-style VBV rate control (JetsonEncoder.cpp:71-84 semantics);
 // zerolatency != 0 -> no B-frames / no lookahead (x264enc tune=zerolatency,
-// RTSPServer.cpp:85); gop: keyframe interval in frames (<=0 -> fps).
-void *vs_enc_open(int width, int height, double fps, int64_t bitrate_bps,
-                  const char *codec_name, int zerolatency, int gop) {
+// RTSPServer.cpp:85); gop: keyframe interval in frames (<=0 -> fps);
+// global_header != 0 -> extradata-style headers (container muxing) instead
+// of in-band SPS/PPS at each IDR (streaming).
+void *enc_open_impl(int width, int height, double fps, int64_t bitrate_bps,
+                    const char *codec_name, int zerolatency, int gop,
+                    int global_header) {
   const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) return nullptr;
   Encoder *e = new Encoder();
@@ -114,6 +120,7 @@ void *vs_enc_open(int width, int height, double fps, int64_t bitrate_bps,
     if (bitrate_bps > 0 && codec->id == AV_CODEC_ID_H264)
       av_opt_set(e->ctx->priv_data, "x264-params", "nal-hrd=cbr", 0);
   }
+  if (global_header) e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (avcodec_open2(e->ctx, codec, nullptr) < 0) {
     avcodec_free_context(&e->ctx);
     delete e;
@@ -134,6 +141,14 @@ void *vs_enc_open(int width, int height, double fps, int64_t bitrate_bps,
                           AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
                           nullptr);
   return e;
+}
+
+}  // namespace
+
+void *vs_enc_open(int width, int height, double fps, int64_t bitrate_bps,
+                  const char *codec_name, int zerolatency, int gop) {
+  return enc_open_impl(width, height, fps, bitrate_bps, codec_name,
+                       zerolatency, gop, /*global_header=*/0);
 }
 
 // Encode one BGR24 frame (height*width*3 bytes, row-major). Appends the
@@ -293,6 +308,116 @@ void vs_dec_close(void *handle) {
   if (d->pkt) av_packet_free(&d->pkt);
   if (d->ctx) avcodec_free_context(&d->ctx);
   delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Container writer: H.264 (or HEVC) encoded + muxed into MP4/MKV via
+// libavformat — the proper-container half of the JetsonEncoder role (the
+// reference muxes via GStreamer's mp4mux/rtsp pipelines).
+// ---------------------------------------------------------------------------
+
+struct Muxer {
+  AVFormatContext *fmt = nullptr;
+  AVStream *stream = nullptr;
+  Encoder *enc = nullptr;     // owns encode side (reuses vs_enc_* plumbing)
+  int64_t frames = 0;
+};
+
+// Open `path` (container inferred from extension: .mp4, .mkv, .mov) with an
+// internal encoder (same knobs as vs_enc_open).
+void *vs_mux_open(const char *path, int width, int height, double fps,
+                  int64_t bitrate_bps, const char *codec_name,
+                  int zerolatency, int gop) {
+  Muxer *m = new Muxer();
+  m->enc = (Encoder *)enc_open_impl(width, height, fps, bitrate_bps,
+                                    codec_name, zerolatency, gop,
+                                    /*global_header=*/1);
+  if (!m->enc) { delete m; return nullptr; }
+  // Containers want extradata (avcC) rather than in-band-only headers;
+  // libx264 still emits in-band SPS/PPS without GLOBAL_HEADER, which mp4
+  // muxing tolerates via the bitstream filterless hvc1/avc1 path — but be
+  // explicit and copy codec parameters after open.
+  if (avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path) < 0 ||
+      !m->fmt) {
+    vs_enc_close(m->enc);
+    delete m;
+    return nullptr;
+  }
+  m->stream = avformat_new_stream(m->fmt, nullptr);
+  if (!m->stream ||
+      avcodec_parameters_from_context(m->stream->codecpar, m->enc->ctx) < 0) {
+    avformat_free_context(m->fmt);
+    vs_enc_close(m->enc);
+    delete m;
+    return nullptr;
+  }
+  m->stream->time_base = m->enc->ctx->time_base;
+  if (!(m->fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avformat_free_context(m->fmt);
+    vs_enc_close(m->enc);
+    delete m;
+    return nullptr;
+  }
+  if (avformat_write_header(m->fmt, nullptr) < 0) {
+    if (m->fmt->pb) avio_closep(&m->fmt->pb);
+    avformat_free_context(m->fmt);
+    vs_enc_close(m->enc);
+    delete m;
+    return nullptr;
+  }
+  return m;
+}
+
+namespace {
+
+int mux_drain(Muxer *m, bool eof) {
+  Encoder *e = m->enc;
+  if (eof) avcodec_send_frame(e->ctx, nullptr);
+  for (;;) {
+    int ret = avcodec_receive_packet(e->ctx, e->pkt);
+    if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+    if (ret < 0) return -2;
+    e->bytes_out += e->pkt->size;
+    av_packet_rescale_ts(e->pkt, e->ctx->time_base, m->stream->time_base);
+    e->pkt->stream_index = m->stream->index;
+    if (av_interleaved_write_frame(m->fmt, e->pkt) < 0) return -3;
+  }
+}
+
+}  // namespace
+
+// Encode + mux one BGR24 frame. Returns 0 on success.
+int vs_mux_write(void *handle, const uint8_t *bgr) {
+  Muxer *m = (Muxer *)handle;
+  Encoder *e = m->enc;
+  if (av_frame_make_writable(e->frame) < 0) return -1;
+  const uint8_t *src[1] = {bgr};
+  int src_stride[1] = {e->width * 3};
+  sws_scale(e->sws, src, src_stride, 0, e->height, e->frame->data,
+            e->frame->linesize);
+  e->frame->pts = e->pts++;
+  e->frame->pict_type = AV_PICTURE_TYPE_NONE;
+  if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;
+  m->frames++;
+  return mux_drain(m, false);
+}
+
+int64_t vs_mux_bytes_out(void *handle) {
+  return ((Muxer *)handle)->enc->bytes_out;
+}
+
+// Flush encoder, write trailer, close file. Returns 0 on success.
+int vs_mux_close(void *handle) {
+  Muxer *m = (Muxer *)handle;
+  if (!m) return 0;
+  int rc = mux_drain(m, true);
+  if (av_write_trailer(m->fmt) < 0 && rc == 0) rc = -4;
+  if (m->fmt->pb) avio_closep(&m->fmt->pb);
+  avformat_free_context(m->fmt);
+  vs_enc_close(m->enc);
+  delete m;
+  return rc;
 }
 
 // ---------------------------------------------------------------------------
