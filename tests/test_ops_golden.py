@@ -190,6 +190,42 @@ class TestLK:
         assert np.allclose(flow[:, 0], -2.0, atol=0.3), flow
         assert np.allclose(flow[:, 1], -3.0, atol=0.3), flow
 
+    def test_tracks_moderate_translation(self):
+        """Top-pyramid-level drift budget (ops/lk.py DRIFT_TOP): a ~22 px
+        pan starts 5.5 px off at 1/4 res — beyond the inner-level budget of
+        8 combined with window falloff — and must converge coarse-to-fine."""
+        world = make_textured(300, 400, seed=21, sigma=6.0)
+        prev = world[50:178, 50:242]
+        curr = world[54:182, 72:264]   # shift (+22, +4) in (x, y)
+        # interior points: at 1/4 res a 15x15 window must fit inside
+        pts = np.float32([[60, 40], [120, 70], [100, 60]])
+        out, status, err = ops.lk_track(prev, curr, pts,
+                                        np.ones(3, bool),
+                                        win=15, max_level=2, iters=20)
+        out = np.asarray(out)
+        assert np.asarray(status).all(), np.asarray(err)
+        flow = out - pts
+        assert np.allclose(flow[:, 0], -22.0, atol=0.5), flow
+        assert np.allclose(flow[:, 1], -4.0, atol=0.5), flow
+
+    def test_matches_cv2_beyond_convergence_basin(self):
+        """A 40 px pan is beyond LK's basin at this budget for BOTH
+        implementations — parity means failing the same way cv2 fails,
+        not silently diverging differently."""
+        world = make_textured(300, 400, seed=21, sigma=1.5)
+        prev = world[50:178, 50:242]
+        curr = world[58:186, 90:282]
+        pts = np.float32([[60, 40], [120, 70], [90, 100]])
+        ours, st, _ = ops.lk_track(prev, curr, pts, np.ones(3, bool),
+                                   win=15, max_level=2, iters=20)
+        ref, _, _ = cv2.calcOpticalFlowPyrLK(
+            prev.astype(np.uint8), curr.astype(np.uint8),
+            pts.reshape(-1, 1, 2), None, winSize=(15, 15), maxLevel=2,
+            criteria=(cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS,
+                      20, 0.03))
+        d = np.abs(np.asarray(ours) - ref.reshape(-1, 2))
+        assert d.max() < 1.0, d
+
     def test_matches_cv2_lk(self):
         world = make_textured(120, 160, seed=19, sigma=1.5)
         prev = world[10:90, 10:130]

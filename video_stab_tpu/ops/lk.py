@@ -39,9 +39,13 @@ from video_stab_tpu.ops.resize import build_pyramid
 # Iteration drift budget per pyramid level (px). The slab covers the window
 # wherever the guess wanders within +-DRIFT of its starting position at that
 # level; beyond it the window clamps to the slab edge and the point is
-# caught by the err/min-eig/inside filters. Pyramid coarse-to-fine leaves
-# well under this per level for stabilization motion.
+# caught by the err/min-eig/inside filters. Levels below the top start from
+# the upsampled coarser estimate (residual ~1-2 px); the TOP level starts
+# from a no-motion guess and must absorb the full motion at top-level
+# scale, so it gets a larger budget (24 px at 1/4 res = ~96 px full-res
+# motion — beyond any stabilizable shake).
 DRIFT = 8
+DRIFT_TOP = 24
 
 
 def _slab_select(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
@@ -120,7 +124,6 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
     curr_pyr = build_pyramid(curr_gray, max_level)
     half = (win - 1) * 0.5
     s_t = win + 1                       # template slab: window + 1 (frac)
-    s_c = win + 1 + 2 * DRIFT           # current slab: + iteration drift
 
     scale_top = 1.0 / (2 ** max_level)
     guess = prev_pts * scale_top        # (N, 2)
@@ -128,6 +131,8 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
     err = jnp.zeros(prev_pts.shape[0], jnp.float32)
 
     for level in range(max_level, -1, -1):
+        drift = DRIFT_TOP if level == max_level else DRIFT
+        s_c = win + 1 + 2 * drift       # current slab: + iteration drift
         prev_l = prev_pyr[level]
         curr_l = curr_pyr[level]
         ix, iy = scharr_derivs(prev_l)
@@ -157,38 +162,65 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
         inv12 = jnp.where(lvl_ok, -g12 / safe_det, 0.0)
         inv22 = jnp.where(lvl_ok, g11 / safe_det, 0.0)
 
-        # Current-frame slab covering the whole iteration drift budget.
-        cy0 = jnp.floor(guess[:, 1] - half).astype(jnp.int32) - DRIFT
-        cx0 = jnp.floor(guess[:, 0] - half).astype(jnp.int32) - DRIFT
-        c_slab = _slab_select(curr_l, cy0, cx0, s_c)       # (N,s_c,s_c)
+        # Current-frame slab covering the iteration drift budget. The
+        # window must follow the guess (cv2 semantics): a Newton overshoot
+        # beyond the slab would otherwise pin the window at the clamp and
+        # converge to garbage — so iterations run in ROUNDS, re-fetching
+        # the slab at the current guess between rounds (the budget
+        # resets). The top level absorbs the full unknown motion and gets
+        # several rounds; its image is the smallest, so refetches are
+        # nearly free.
+        # Inner levels start within ~1-2 px (upsampled coarser estimate);
+        # one slab covers them. Only the top level both starts far off and
+        # can overshoot, so only it pays for refetches.
+        rounds = 4 if level == max_level else 1
+        iters_per = -(-iters // rounds)
 
-        def window_at(pt):
-            cy = jnp.clip(pt[:, 1] - half - cy0.astype(jnp.float32),
-                          0.0, s_c - win - 1.0)
-            cx = jnp.clip(pt[:, 0] - half - cx0.astype(jnp.float32),
-                          0.0, s_c - win - 1.0)
-            return _interp_window(c_slab, cy, cx, win)     # (N,win,win)
+        def run_round(carry, _):
+            pt0, done0 = carry
+            cy0 = jnp.floor(pt0[:, 1] - half).astype(jnp.int32) - drift
+            cx0 = jnp.floor(pt0[:, 0] - half).astype(jnp.int32) - drift
+            c_slab = _slab_select(curr_l, cy0, cx0, s_c)   # (N,s_c,s_c)
 
-        def body(_, carry):
-            pt, done = carry
-            j_win = window_at(pt)
-            diff = j_win - i_win
-            b1 = jnp.sum(diff * ix_win, axis=(1, 2))
-            b2 = jnp.sum(diff * iy_win, axis=(1, 2))
-            dx = -(inv11 * b1 + inv12 * b2)
-            dy = -(inv12 * b1 + inv22 * b2)
-            step = jnp.where(done, 0.0, 1.0)[:, None]
-            new_pt = pt + step * jnp.stack([dx, dy], axis=-1)
-            done = done | (dx * dx + dy * dy <= eps * eps)
-            return new_pt, done
+            def window_at(pt):
+                cy = jnp.clip(pt[:, 1] - half - cy0.astype(jnp.float32),
+                              0.0, s_c - win - 1.0)
+                cx = jnp.clip(pt[:, 0] - half - cx0.astype(jnp.float32),
+                              0.0, s_c - win - 1.0)
+                return _interp_window(c_slab, cy, cx, win)  # (N,win,win)
 
-        new_pt, _ = jax.lax.fori_loop(0, iters, body, (guess, ~lvl_ok))
+            def body(_, carry):
+                pt, done = carry
+                j_win = window_at(pt)
+                diff = j_win - i_win
+                b1 = jnp.sum(diff * ix_win, axis=(1, 2))
+                b2 = jnp.sum(diff * iy_win, axis=(1, 2))
+                dx = -(inv11 * b1 + inv12 * b2)
+                dy = -(inv12 * b1 + inv22 * b2)
+                step = jnp.where(done, 0.0, 1.0)[:, None]
+                new_pt = pt + step * jnp.stack([dx, dy], axis=-1)
+                done = done | (dx * dx + dy * dy <= eps * eps)
+                return new_pt, done
+
+            out = jax.lax.fori_loop(0, iters_per, body, (pt0, done0))
+            return out, ()
+
+        (new_pt, _), _ = jax.lax.scan(run_round, (guess, ~lvl_ok),
+                                      None, length=rounds)
         ok = ok & lvl_ok
         guess = jnp.where(ok[:, None], new_pt, guess)
         if level > 0:
             guess = guess * 2.0
         else:
-            j_win = window_at(guess)
+            # Final-window error (OpenCV's err output): fresh slab at the
+            # converged position.
+            ey0 = jnp.floor(guess[:, 1] - half).astype(jnp.int32) - 1
+            ex0 = jnp.floor(guess[:, 0] - half).astype(jnp.int32) - 1
+            e_slab = _slab_select(curr_l, ey0, ex0, win + 3)
+            j_win = _interp_window(
+                e_slab,
+                guess[:, 1] - half - ey0.astype(jnp.float32),
+                guess[:, 0] - half - ex0.astype(jnp.float32), win)
             err = jnp.mean(jnp.abs(j_win - i_win), axis=(1, 2))
 
     inside = ((guess[:, 0] >= 0) & (guess[:, 0] <= w - 1) &
