@@ -170,10 +170,10 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
         # resets). The top level absorbs the full unknown motion and gets
         # several rounds; its image is the smallest, so refetches are
         # nearly free.
-        # Inner levels start within ~1-2 px (upsampled coarser estimate);
-        # one slab covers them. Only the top level both starts far off and
-        # can overshoot, so only it pays for refetches.
-        rounds = 4 if level == max_level else 1
+        # The top level starts far off (no-motion guess) and gets the most
+        # rounds; inner levels start within ~1-2 px but weak-gradient
+        # content can still overshoot once, so they get one refetch.
+        rounds = 4 if level == max_level else 2
         iters_per = -(-iters // rounds)
 
         def run_round(carry, _):
