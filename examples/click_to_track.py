@@ -7,6 +7,12 @@ Usage: python examples/click_to_track.py [--port 5000] [--frames 100]
 Then:  echo "320 180" | nc 127.0.0.1 5000
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                  _os.pardir))   # run from a source checkout
+
 import argparse
 
 import numpy as np

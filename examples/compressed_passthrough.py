@@ -1,0 +1,70 @@
+"""Compressed-domain passthrough with a hot switch into processing —
+counterpart of the reference's gstd/interpipe mode switching
+(examples/main-gstd-interpipe.cpp + GstdManager.cpp:155-180, 324-327):
+passthrough relays H.264 access units byte-identically with NO decoder;
+switching to processing attaches the decoder mid-stream and resumes at the
+next IDR.
+
+Usage:
+  python examples/compressed_passthrough.py in.h264 out.h264
+      [--switch-at 60]      # access units before switching to processing
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                  _os.pardir))   # run from a source checkout
+
+import argparse
+
+from video_stab_tpu.core.params import StabilizerParams
+from video_stab_tpu.core.stabilizer import Stabilizer
+from video_stab_tpu.io.packets import (PacketDecoderBridge, PacketFileSink,
+                                       PacketSource)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("--switch-at", type=int, default=-1,
+                    help="-1 = pure passthrough (no decode ever)")
+    args = ap.parse_args()
+
+    src = PacketSource(args.input)
+    sink = PacketFileSink(args.output)
+    bridge = PacketDecoderBridge()
+    st = None
+    n = relayed = processed = 0
+    while True:
+        au = src.read()
+        if au is None:
+            break
+        if args.switch_at < 0 or n < args.switch_at:
+            sink.write(au)          # byte-identical, zero decode cost
+            relayed += 1
+            assert not bridge.decoder_constructed
+        else:
+            for frame in bridge.decode_unit(au):
+                if st is None:
+                    st = Stabilizer(StabilizerParams(smoothing_radius=10))
+                out = st.stabilize(frame)
+                if out is not None:
+                    processed += 1
+        n += 1
+    for frame in bridge.flush():
+        processed += 1
+    had_decoder = bridge.decoder_constructed
+    sink.close()
+    src.stop()
+    bridge.close()
+    print(f"access units: {n}  relayed byte-identical: {relayed}  "
+          f"decoded frames: {processed}  "
+          f"decoder constructed: {had_decoder}")
+    # Note: after a mid-stream switch, decoding resumes at the next IDR
+    # (gop boundary) — the same resync semantics as any streaming client.
+
+
+if __name__ == "__main__":
+    main()

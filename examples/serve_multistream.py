@@ -4,6 +4,12 @@ across a TPU slice"). Sources here are synthetic; swap open_source() targets
 for real RTSP URLs.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                  _os.pardir))   # run from a source checkout
+
 import argparse
 import time
 
