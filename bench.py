@@ -94,11 +94,30 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
     state = jax.device_put(state, jax.devices()[0])
     state, m = scan_jit(state, pool)    # compile + in-graph warm-up
     float(m)    # force the VALUE: on this runtime block_until_ready can
-    t0 = time.perf_counter()            # return before execution finishes
-    for _ in range(n_iters):
-        state, m = scan_jit(state, pool)
-    float(m)
-    dt = time.perf_counter() - t0
+                # return before execution finishes
+
+    # Configs compile concurrently (separate processes) but must MEASURE
+    # exclusively — a file lock serializes the short timed sections.
+    import contextlib
+    import fcntl
+
+    @contextlib.contextmanager
+    def measure_lock():
+        with open(".bench_lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    with measure_lock():
+        state, m = scan_jit(state, pool)    # re-warm after any contention
+        float(m)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = scan_jit(state, pool)
+        float(m)
+        dt = time.perf_counter() - t0
     frames = n_iters * k * n_streams
     return frames / dt, dt / (n_iters * k) * 1e3
 
@@ -178,14 +197,35 @@ def _transfer_gbps():
     return round(up, 2), round(down, 2)
 
 
-def main():
-    t_start = time.perf_counter()
+def _run_config(name: str, iters: int):
+    """Child-process entry: measure one scan config, print one JSON line.
+
+    The scan programs compile through a remote AOT service that the local
+    persistent cache cannot shortcut, costing minutes per config; running
+    the three configs as concurrent processes overlaps their compiles (the
+    chip itself interleaves the short measurement phases)."""
     import jax
 
-    # Persistent compilation cache: the scan programs are identical across
-    # rounds; a warm cache turns minutes of compile into seconds.
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if name == "1080":
+        fps, ms = _bench_scan(1080, 1920, SCAN_K_1080, iters)
+    elif name == "4k":
+        fps, ms = _bench_scan(2160, 3840, SCAN_K_4K, iters)
+    elif name == "multi":
+        fps, ms = _bench_scan(1080, 1920, SCAN_K_MULTI, iters, n_streams=8)
+    else:
+        raise SystemExit(f"unknown config {name}")
+    print(json.dumps({"config": name, "fps": fps, "ms": ms}), flush=True)
+
+
+def main():
+    import os
+    import subprocess
+    import sys
+
+    t_start = time.perf_counter()
+    import jax
 
     def budget_left():
         return DEADLINE_S - (time.perf_counter() - t_start)
@@ -201,15 +241,40 @@ def main():
     degraded = min(up_gbps, down_gbps) < 2.0
     iters = 2 if degraded else 4
 
-    # Scan-amortized throughput: measures the device in any window.
-    # Headline (1080p) first; extras only while the deadline allows.
-    fps_1080, ms_1080 = _bench_scan(1080, 1920, SCAN_K_1080, iters)
-    fps_4k = ms_4k = fps_multi = None
-    if budget_left() > 150:
-        fps_4k, ms_4k = _bench_scan(2160, 3840, SCAN_K_4K, iters)
-    if budget_left() > 150:
-        fps_multi, _ = _bench_scan(1080, 1920, SCAN_K_MULTI, iters,
-                                   n_streams=8)
+    # Scan-amortized throughput (measures the device in any window), all
+    # three configs as concurrent subprocesses so their remote compiles
+    # overlap. Collect whatever finishes before the deadline; the 1080p
+    # headline gets a grace window if it alone is missing.
+    here = os.path.abspath(__file__)
+    procs = {}
+    for name in ("1080", "4k", "multi"):
+        procs[name] = subprocess.Popen(
+            [sys.executable, here, "--config", name, "--iters", str(iters)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cwd=os.path.dirname(here), text=True)
+    results = {}
+    while procs and (budget_left() > 0 or
+                     ("1080" in procs and budget_left() > -180)):
+        for name, p in list(procs.items()):
+            if p.poll() is None:
+                continue
+            out = (p.stdout.read() or "").strip().splitlines()
+            for line in out:
+                try:
+                    d = json.loads(line)
+                    results[d["config"]] = d
+                except (ValueError, KeyError):
+                    continue
+            del procs[name]
+        time.sleep(2)
+    for p in procs.values():            # deadline: stop stragglers
+        p.terminate()
+
+    fps_1080 = results.get("1080", {}).get("fps")
+    ms_1080 = results.get("1080", {}).get("ms")
+    fps_4k = results.get("4k", {}).get("fps")
+    ms_4k = results.get("4k", {}).get("ms")
+    fps_multi = results.get("multi", {}).get("fps")
 
     # Healthy windows only: per-dispatch latency + full-frame delivery.
     if degraded or budget_left() < 90:
@@ -221,10 +286,11 @@ def main():
 
     out = {
         "metric": "stabilized_fps_1080p",
-        "value": round(fps_1080, 2),
+        "value": round(fps_1080, 2) if fps_1080 else None,
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps_1080 / 30.0, 3),
-        "ms_per_frame_1080p_amortized": round(ms_1080, 4),
+        "vs_baseline": round(fps_1080 / 30.0, 3) if fps_1080 else None,
+        "ms_per_frame_1080p_amortized": (round(ms_1080, 4)
+                                         if ms_1080 else None),
         "fps_4k": round(fps_4k, 2) if fps_4k else None,
         "ms_per_frame_4k_amortized": round(ms_4k, 4) if ms_4k else None,
         "fps_8x1080p_aggregate": round(fps_multi, 2) if fps_multi else None,
@@ -242,4 +308,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--config" in _sys.argv:
+        _i = _sys.argv.index("--config")
+        _name = _sys.argv[_i + 1]
+        _it = int(_sys.argv[_sys.argv.index("--iters") + 1]) \
+            if "--iters" in _sys.argv else 2
+        _run_config(_name, _it)
+    else:
+        main()
