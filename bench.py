@@ -241,20 +241,24 @@ def main():
     degraded = min(up_gbps, down_gbps) < 2.0
     iters = 2 if degraded else 4
 
-    # Scan-amortized throughput (measures the device in any window), all
-    # three configs as concurrent subprocesses so their remote compiles
-    # overlap. Collect whatever finishes before the deadline; the 1080p
-    # headline gets a grace window if it alone is missing.
+    # Scan-amortized throughput (measures the device in any window). The
+    # 1080p HEADLINE is measured inline — guaranteed attempt, never killed
+    # — while the 4K and 8-stream configs compile concurrently in child
+    # processes (the remote AOT service is not shortcut by the local
+    # persistent cache, so each config costs minutes of compile; the file
+    # lock inside _bench_scan serializes only the short timed sections).
     here = os.path.abspath(__file__)
     procs = {}
-    for name in ("1080", "4k", "multi"):
+    for name in ("4k", "multi"):
         procs[name] = subprocess.Popen(
             [sys.executable, here, "--config", name, "--iters", str(iters)],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             cwd=os.path.dirname(here), text=True)
+
+    fps_1080, ms_1080 = _bench_scan(1080, 1920, SCAN_K_1080, iters)
+
     results = {}
-    while procs and (budget_left() > 0 or
-                     ("1080" in procs and budget_left() > -180)):
+    while procs and budget_left() > 0:
         for name, p in list(procs.items()):
             if p.poll() is None:
                 continue
@@ -267,11 +271,14 @@ def main():
                     continue
             del procs[name]
         time.sleep(2)
-    for p in procs.values():            # deadline: stop stragglers
+    for p in procs.values():            # deadline: stop stragglers hard
         p.terminate()
+    time.sleep(2)
+    for p in procs.values():
+        if p.poll() is None:
+            p.kill()                    # SIGTERM can't interrupt a stuck RPC
+        p.wait()
 
-    fps_1080 = results.get("1080", {}).get("fps")
-    ms_1080 = results.get("1080", {}).get("ms")
     fps_4k = results.get("4k", {}).get("fps")
     ms_4k = results.get("4k", {}).get("ms")
     fps_multi = results.get("multi", {}).get("fps")
