@@ -254,3 +254,75 @@ class TestContainerSink:
             n += 1
         cap.release()
         assert n == len(clip)
+
+
+class TestRTSPMultiClient:
+    def test_two_concurrent_clients(self):
+        """Shared-factory semantics (RTSPServer.cpp:95): one encoder, any
+        number of clients; both decode simultaneously."""
+        import cv2
+
+        from video_stab_tpu.io.rtsp import RTSPServer
+        server = RTSPServer(port=18557, mount="/s", fps=30).start()
+        clip = make_clip(120, h=120, w=160)
+        stop = threading.Event()
+
+        def pusher():
+            i = 0
+            while not stop.is_set():
+                server.push_frame(clip[i % len(clip)])
+                i += 1
+                time.sleep(1 / 60)
+        t = threading.Thread(target=pusher, daemon=True)
+        t.start()
+        got = [0, 0]
+
+        def client(idx):
+            os.environ["OPENCV_FFMPEG_CAPTURE_OPTIONS"] = \
+                "rtsp_transport;tcp"
+            cap = cv2.VideoCapture(server.url, cv2.CAP_FFMPEG)
+            deadline = time.time() + 20
+            while got[idx] < 5 and time.time() < deadline:
+                ok, _ = cap.read()
+                if ok:
+                    got[idx] += 1
+            cap.release()
+
+        try:
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(2)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=30)
+            assert got[0] >= 5 and got[1] >= 5, got
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            server.close()
+            os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
+
+
+class TestDecoderRobustness:
+    def test_corrupt_midstream_resyncs(self):
+        """Bit errors mid-stream must not kill the decoder — it drops the
+        damaged packets and resynchronizes at the next keyframe (the
+        recovery semantics CamCap's reconnect supervisor assumes)."""
+        clip = make_clip(60)
+        enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=1_000_000,
+                                  gop=15)
+        stream = b"".join([enc.encode(f) for f in clip]) + enc.flush()
+        enc.close()
+        # Corrupt a 2 KB stretch at ~40% depth (inside coded slices).
+        pos = int(len(stream) * 0.4)
+        corrupted = (stream[:pos] + b"\x00" * 2048
+                     + stream[pos + 2048:])
+        dec = vcodec.VideoDecoder()
+        frames = []
+        for i in range(0, len(corrupted), 4096):
+            frames += dec.decode(corrupted[i:i + 4096])
+        frames += dec.flush()
+        dec.close()
+        # Lost a gop around the damage, decoded the rest.
+        assert len(frames) >= 30, len(frames)
+        assert all(f.shape == (240, 320, 3) for f in frames)
