@@ -157,12 +157,15 @@ def warp_affine_tiled(img: jnp.ndarray, m: jnp.ndarray,
                       inverse_map: bool = False,
                       max_angle_deg: float = 6.0,
                       max_shift: int = 128) -> jnp.ndarray:
-    """TPU-fast exact-bilinear affine warp for near-rigid maps.
+    """Exact-bilinear affine warp for near-rigid maps, XLA formulation.
 
     Same result as ``warp_affine`` (direct 2D bilinear, cv2 semantics) but
     built from dynamic slices + static shifted views instead of per-pixel
     gathers: XLA gathers cost ~34 ns/element on TPU (measured: 69 ms for a
-    1080p warp), while this runs at HBM speed. Per (8, 128) output tile the
+    1080p warp). This is the portable/CPU path; on TPU the hot callers
+    dispatch to the Pallas strip kernel (pallas/warp.py, 3.6x faster —
+    vmapped slab slices still lower to gathers here) through
+    ``warp_affine_fast``. Per (8, 128) output tile the
     source footprint of an affine map is a slab of statically bounded size;
     one dynamic_slice fetches it, and exact bilinear reconstruction is a
     static sum over (ry, rx) integer offsets weighted by hat functions

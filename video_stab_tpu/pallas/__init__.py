@@ -1,9 +1,10 @@
 """Fused TPU Pallas kernels for the hot paths.
 
 Kernels auto-dispatch: compiled Mosaic on TPU, interpreter elsewhere (so the
-same call sites run in CPU CI). The design notes on which ops got kernels —
-and which deliberately stayed XLA (the gather-based warp) — are in
-DESIGN.md.
+same call sites run in CPU CI). The headline kernel is the full-frame
+affine warp (warp.py — the emit hot path, 3.6x the XLA formulation);
+DESIGN.md §5 records which other ops got kernels and which XLA already
+fuses optimally.
 """
 
 from __future__ import annotations
