@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
                                      invert_affine)
 
-TH, TW = 8, 128         # output tile = one VPU vreg of f32
+TH, TW = 32, 128         # output tile: 4 sublane-tiles tall amortizes per-tile slice+roll cost (32 vs 8 rows measured 2.9 vs 4.3 ms at 1080p)
 STRIP_W = 512           # output columns per grid step
 
 
