@@ -63,12 +63,17 @@ def _slab_select(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
     rx = jnp.clip(x0[:, None] + ss[None, :], 0, w - 1)
     hh = jnp.arange(h, dtype=jnp.int32)
     ww = jnp.arange(w, dtype=jnp.int32)
-    oh = (ry[:, :, None] == hh[None, None, :]).astype(img.dtype)  # (N,s,H)
-    ow = (rx[:, :, None] == ww[None, None, :]).astype(img.dtype)  # (N,s,W)
+    # Selection runs in bf16 on the MXU (the dominant matmul: (N,s,H) x
+    # (C,H,W) over the full level-0 plane). One-hot weights are exact in
+    # any dtype; image values round to bf16 (<=0.25 u8-levels on the
+    # fractional pyramid levels) — far below LK's noise floor, ~4x the
+    # matmul throughput. Accumulation stays f32.
+    oh = (ry[:, :, None] == hh[None, None, :]).astype(jnp.bfloat16)
+    ow = (rx[:, :, None] == ww[None, None, :]).astype(jnp.bfloat16)
     # rows: (N,s,H) @ (C,H,W) -> (N,C,s,W); cols: -> (N,C,s,s)
-    rows = jnp.einsum("nsh,chw->ncsw", oh, imgs,
+    rows = jnp.einsum("nsh,chw->ncsw", oh, imgs.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-    slab = jnp.einsum("ncsw,ntw->ncst", rows, ow,
+    slab = jnp.einsum("ncsw,ntw->ncst", rows.astype(jnp.bfloat16), ow,
                       preferred_element_type=jnp.float32)
     return slab[:, 0] if img.ndim == 2 else slab
 
