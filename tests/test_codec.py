@@ -326,3 +326,22 @@ class TestDecoderRobustness:
         # Lost a gop around the damage, decoded the rest.
         assert len(frames) >= 30, len(frames)
         assert all(f.shape == (240, 320, 3) for f in frames)
+
+
+class TestHEVC:
+    def test_h265_encode_decode_roundtrip(self):
+        """The codec layer's second codec (JetsonEncoder supports H.264 and
+        H.265, JetsonEncoder.cpp:22-40): libx265 encode -> hevc decode."""
+        if not vcodec.available("libx265"):
+            pytest.skip("libx265 unavailable")
+        clip = make_clip(20, noise=0)
+        enc = vcodec.VideoEncoder(320, 240, 30, bitrate_bps=800_000,
+                                  codec="libx265")
+        stream = b"".join([enc.encode(f) for f in clip]) + enc.flush()
+        enc.close()
+        assert len(stream) > 0
+        dec = vcodec.VideoDecoder("hevc")
+        frames = dec.decode(stream) + dec.flush()
+        dec.close()
+        assert len(frames) == len(clip)
+        assert frames[0].shape == (240, 320, 3)
