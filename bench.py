@@ -271,6 +271,17 @@ def main():
                     continue
             del procs[name]
         time.sleep(2)
+    # Final collection pass: a child may have finished right at the
+    # deadline; harvest before killing stragglers.
+    for name, p in list(procs.items()):
+        if p.poll() is not None:
+            for line in (p.stdout.read() or "").strip().splitlines():
+                try:
+                    d = json.loads(line)
+                    results[d["config"]] = d
+                except (ValueError, KeyError):
+                    continue
+            del procs[name]
     for p in procs.values():            # deadline: stop stragglers hard
         p.terminate()
     time.sleep(2)
