@@ -35,7 +35,7 @@ import numpy as np
 SCAN_K_1080 = 240     # frames per dispatch (8 s of 30 fps video)
 SCAN_K_4K = 120
 SCAN_K_MULTI = 120
-DEADLINE_S = 540      # wall-clock budget: headline first, extras if time
+DEADLINE_S = 600      # wall-clock budget: headline first, extras if time
                       # remains (full-step compiles run minutes on this box;
                       # the persistent .jax_cache makes repeat runs cheap)
 
