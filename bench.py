@@ -92,18 +92,26 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
 
     scan_jit = jax.jit(scan_fn, donate_argnums=0)
     state = jax.device_put(state, jax.devices()[0])
-    state, m = scan_jit(state, pool)    # compile + in-graph warm-up
-    float(m)    # force the VALUE: on this runtime block_until_ready can
-                # return before execution finishes
+    # AOT-compile OUTSIDE the lock (the expensive remote-service part, no
+    # device execution), so concurrent configs overlap compiles but never
+    # overlap device work with another process's timed section.
+    compiled = scan_jit.lower(state, pool).compile()
 
     # Configs compile concurrently (separate processes) but must MEASURE
-    # exclusively — a file lock serializes the short timed sections.
+    # exclusively — a file lock serializes the short timed sections. The
+    # lock file lives next to this script (children run with cwd set here;
+    # a CWD-relative path would silently defeat the serialization when the
+    # parent is invoked from elsewhere).
     import contextlib
     import fcntl
+    import os
+
+    lock_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_lock")
 
     @contextlib.contextmanager
     def measure_lock():
-        with open(".bench_lock", "w") as lf:
+        with open(lock_path, "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             try:
                 yield
@@ -111,11 +119,13 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
     with measure_lock():
-        state, m = scan_jit(state, pool)    # re-warm after any contention
+        state, m = compiled(state, pool)    # warm-up (in-graph gate) + warm
+        float(m)    # force the VALUE: on this runtime block_until_ready
+        state, m = compiled(state, pool)    # can return before completion
         float(m)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            state, m = scan_jit(state, pool)
+            state, m = compiled(state, pool)
         float(m)
         dt = time.perf_counter() - t0
     frames = n_iters * k * n_streams

@@ -361,3 +361,84 @@ class TestProcessingChain:
             outs_b.append(d)
         assert len(outs_a) == len(outs_b)
         assert all(np.array_equal(x, y) for x, y in zip(outs_a, outs_b))
+
+
+class TestEnvelopeObservability:
+    """The emit warp silently clamps corrections outside the static envelope
+    (|da| <= warp_envelope_deg, |shift| <= 128 px; pallas/warp.py:22-25).
+    The `envelope_exceeded` state counter is the observability signal —
+    these tests pin the boundary on both sides."""
+
+    def _emit_once(self, angle_deg, shift=0.0):
+        """Hand-built state whose applied correction is EXACTLY
+        (shift, 0, angle): at emit index 0 the intent scale is 1.0
+        (intent.py: frame_index == 0) and the box window holds one sample,
+        so t_smooth == raw == trans_ring[0]."""
+        import jax.numpy as jnp
+
+        from video_stab_tpu.core.stabilizer import stabilizer_emit_step_fn
+        from video_stab_tpu.core.state import stabilizer_state_init
+        from tests.conftest import make_bgr
+
+        params = StabilizerParams(smoothing_radius=5, **SMALL)
+        h, w = 64, 96
+        state = stabilizer_state_init(params, h, w)
+        raw = jnp.asarray(
+            [shift, 0.0, np.radians(angle_deg)], jnp.float32)
+        frame = make_bgr(h, w).astype(np.uint8)
+        state = state._replace(
+            trans_ring=state.trans_ring.at[0].set(raw),
+            path_ring=state.path_ring.at[0].set(raw),
+            n_path=jnp.int32(1),
+            frame_ring=state.frame_ring.at[0].set(frame),
+            n_frames=jnp.int32(1),
+        )
+        new_state, out = stabilizer_emit_step_fn(params, state)
+        return int(new_state.envelope_exceeded), np.asarray(out), frame
+
+    def test_counter_inside_vs_outside_rotation(self):
+        n_in, _, _ = self._emit_once(2.9)
+        n_out, _, _ = self._emit_once(3.1)
+        assert n_in == 0
+        assert n_out == 1
+
+    def test_counter_shift_boundary(self):
+        n_in, _, _ = self._emit_once(0.0, shift=127.0)
+        n_out, _, _ = self._emit_once(0.0, shift=129.0)
+        assert n_in == 0
+        assert n_out == 1
+
+    def test_warp_degrades_only_outside_envelope(self):
+        """Inside the envelope the warp is exact bilinear; outside it clamps
+        to the envelope pad (degraded, not unsafe). Compare each against a
+        wide-envelope oracle of the same warp."""
+        import jax.numpy as jnp
+
+        from video_stab_tpu.ops.warp import (similarity_matrix,
+                                             warp_affine_fast)
+        from tests.conftest import make_bgr
+
+        frame = jnp.asarray(make_bgr(64, 96).astype(np.uint8))
+
+        def err_vs_oracle(angle_deg):
+            m = similarity_matrix(0.0, 0.0, float(np.radians(angle_deg)))
+            got = np.asarray(warp_affine_fast(frame, m, max_angle_deg=3.0))
+            oracle = np.asarray(warp_affine_fast(frame, m,
+                                                 max_angle_deg=30.0))
+            return float(np.abs(got - oracle).max())
+
+        assert err_vs_oracle(2.5) <= 1.0       # in-envelope: exact (u8 tie)
+        assert err_vs_oracle(12.0) > 1.0       # clamped: visibly degraded
+
+    def test_counter_in_streaming_metrics(self):
+        """The counter reaches Stabilizer.last_metrics through the combined
+        step (benign clip: stays 0)."""
+        from tests.conftest import make_bgr
+
+        st = Stabilizer(StabilizerParams(smoothing_radius=5, **SMALL))
+        frames = [make_bgr(64, 96, seed=i).astype(np.uint8)
+                  for i in range(8)]
+        for f in frames:
+            st.stabilize(f)
+        assert "envelope_exceeded" in st.last_metrics
+        assert int(np.asarray(st.last_metrics["envelope_exceeded"])) == 0

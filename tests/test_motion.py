@@ -261,3 +261,116 @@ class TestIntent:
         intent = motion.analyze_motion_intent(
             ring, jnp.int32(3), jnp.float32([8.0, 0.0, 0.0]), jnp.int32(2))
         assert int(intent) == int(motion.MotionIntent.NORMAL)
+
+
+class TestHomographyGolden:
+    """Goldens for the 8-DOF path (DESIGN.md §8b): cv2.findHomography
+    parity, sl(3) log/exp roundtrip tolerance, and an offline clip with a
+    known ground-truth warp. Companions to tests/test_offline.py::
+    TestHomographyPath (ground-truth H recovery, cv2 warpPerspective
+    parity, jitter-reduction smoke)."""
+
+    @staticmethod
+    def _project_np(h, pts):
+        d = h[2, 0] * pts[:, 0] + h[2, 1] * pts[:, 1] + h[2, 2]
+        return np.stack(
+            [(h[0, 0] * pts[:, 0] + h[0, 1] * pts[:, 1] + h[0, 2]) / d,
+             (h[1, 0] * pts[:, 0] + h[1, 1] * pts[:, 1] + h[1, 2]) / d], 1)
+
+    def test_parity_vs_cv2_findhomography(self):
+        """Same outlier-laced correspondences to both estimators: inlier
+        sets must agree and both reprojection errors (on the clean points)
+        must match ground truth to sub-0.1 px."""
+        import cv2
+
+        from video_stab_tpu.motion import estimate_homography_ransac
+
+        h_true = np.float32([[1.03, 0.02, 4.0], [-0.01, 0.98, -2.5],
+                             [2e-4, -1e-4, 1.0]])
+        rng = np.random.default_rng(7)
+        prev = (rng.random((100, 2)) * [640, 480]).astype(np.float32)
+        curr = self._project_np(h_true, prev).astype(np.float32)
+        bad = rng.choice(100, 25, replace=False)
+        theta = rng.uniform(0, 2 * np.pi, 25)
+        radius = rng.uniform(25, 80, 25)      # guaranteed outside 5 px
+        curr[bad] += (radius[:, None] * np.stack(
+            [np.cos(theta), np.sin(theta)], 1)).astype(np.float32)
+        clean = np.setdiff1d(np.arange(100), bad)
+
+        h_cv, inl_cv = cv2.findHomography(prev, curr, cv2.RANSAC, 5.0)
+        h_us, ok, inl_us = estimate_homography_ransac(
+            prev, curr, np.ones(100, bool), jax.random.PRNGKey(3),
+            threshold=5.0, n_hypotheses=256)
+        assert bool(ok)
+        h_us = np.asarray(h_us)
+        inl_us = np.asarray(inl_us)
+
+        # Inlier sets: all clean points in, all outliers out, both sides.
+        assert inl_us[clean].all() and not inl_us[bad].any()
+        assert inl_cv.ravel().astype(bool)[clean].all()
+
+        # Reprojection parity on the clean points (statistical parity:
+        # RANSAC seeds differ; both must nail the ground truth).
+        for h in (h_us / h_us[2, 2], h_cv / h_cv[2, 2]):
+            err = np.linalg.norm(
+                self._project_np(h, prev[clean]) - curr[clean], axis=1)
+            assert err.max() < 0.1, err.max()
+
+    def test_sl3_log_exp_roundtrip_tolerance(self):
+        """exp(log(H)) == H/det^(1/3) across the magnitude range of real
+        inter-frame homographies (the Mercator series' domain)."""
+        from video_stab_tpu.motion import exp_homography, log_homography
+
+        rng = np.random.default_rng(11)
+        for scale in (1e-4, 1e-3, 1e-2, 5e-2):
+            for _ in range(3):
+                x = rng.normal(0, scale, (3, 3)).astype(np.float32)
+                x[2, :2] *= 1e-2             # perspective terms are smaller
+                h = (np.eye(3) + x).astype(np.float32)
+                h[0, 2] += rng.normal(0, 100 * scale)   # translation px
+                h[1, 2] += rng.normal(0, 100 * scale)
+                back = np.asarray(exp_homography(log_homography(
+                    jnp.asarray(h))))
+                h_sl3 = h / np.cbrt(np.linalg.det(h))
+                assert np.abs(back - h_sl3).max() < 5e-5, (scale, h)
+
+    def test_offline_homography_clip_known_ground_truth(self):
+        """Clip = world seen through smooth pan + known zero-mean projective
+        jitter. The stabilized output must be much closer to the
+        jitter-free ground-truth render than the input clip is."""
+        import cv2
+
+        from video_stab_tpu.core.params import StabilizerParams
+        from video_stab_tpu.offline import stabilize_clip
+
+        rng = np.random.default_rng(21)
+        world = (cv2.GaussianBlur(
+            rng.random((220, 280)).astype(np.float32), (0, 0), 2) * 255)
+        n, w, h = 14, 96, 64
+        frames, truth = [], []
+        for i in range(n):
+            pan = 40.0 + 0.5 * i            # smooth deliberate pan
+            dx, dy = rng.normal(0, 2.0, 2)
+            p1, p2 = rng.normal(0, 1.5e-4, 2)
+            h_smooth = np.float32([[1, 0, -pan], [0, 1, -40], [0, 0, 1]])
+            h_jit = np.float32([[1, 0, -(pan + dx)], [0, 1, -(40 + dy)],
+                                [p1, p2, 1.0]])
+            frames.append(cv2.warpPerspective(world, h_jit, (w, h)))
+            truth.append(cv2.warpPerspective(world, h_smooth, (w, h)))
+        clip = np.stack([np.repeat(f[:, :, None], 3, 2).astype(np.uint8)
+                         for f in frames])
+        truth = np.stack([np.repeat(f[:, :, None], 3, 2).astype(np.uint8)
+                          for f in truth])
+
+        p = StabilizerParams(smoothing_radius=6, motion_model="homography",
+                             ransac_hypotheses=128, analysis_width=96,
+                             analysis_height=64, max_corners=48)
+        out = stabilize_clip(clip, p)
+
+        def err_vs_truth(x):
+            a = x[:, 12:-12, 12:-12].astype(np.float32)
+            b = truth[:, 12:-12, 12:-12].astype(np.float32)
+            return float(np.abs(a - b).mean())
+
+        assert err_vs_truth(out) < err_vs_truth(clip) * 0.55, \
+            (err_vs_truth(out), err_vs_truth(clip))

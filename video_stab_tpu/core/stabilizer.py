@@ -29,6 +29,7 @@ Differences from the reference, by design (all documented in DESIGN.md):
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -67,6 +68,8 @@ from video_stab_tpu.ops.warp import (
     similarity_matrix,
     warp_affine_fast,
 )
+
+WARP_MAX_SHIFT = 128    # translation envelope (px) of the emit warp
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +368,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                              jnp.zeros(n_ch, jnp.float32))
         h_corr = exp_homography(t_smooth.reshape(3, 3))
         t_mat = None
+        exceeded = jnp.bool_(False)   # perspective warp has no static envelope
     else:
         # Motion-intent correction scaling (Stabilizer.cpp:854-888).
         intent = analyze_motion_intent(state.trans_ring, state.n_path, raw, e)
@@ -381,6 +385,14 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         t_smooth = jnp.stack([dx, dy, da])
         t_mat = similarity_matrix(dx, dy, da)
         h_corr = None
+        # Envelope observability: the warp clamps (degrades) silently when
+        # the applied correction leaves the static envelope
+        # (pallas/warp.py:22-25) — count those emissions so serving can
+        # alarm instead of shipping degraded frames unnoticed.
+        env_rad = math.radians(params.warp_envelope_deg)
+        exceeded = has_transform & (
+            (jnp.abs(da) > env_rad)
+            | (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) > WARP_MAX_SHIFT))
 
     def _warp(image):
         if params.motion_model == "homography":
@@ -392,7 +404,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         # corrections are small rotations + bounded translations.
         return warp_affine_fast(image, t_mat, border_mode=BORDER_CONSTANT,
                                 max_angle_deg=params.warp_envelope_deg,
-                                max_shift=128)
+                                max_shift=WARP_MAX_SHIFT)
 
     q = state.frame_ring.shape[0]
     # Stay u8 until a stage needs float math (fade blend, canvas) — the
@@ -478,6 +490,8 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         fade_count=fade_count,
         canvas=canvas,
         canvas_weight=canvas_weight,
+        envelope_exceeded=state.envelope_exceeded
+        + exceeded.astype(jnp.int32),
     )
     return new_state, out_u8
 
@@ -508,6 +522,8 @@ def stabilizer_emit_gated_fn(params: StabilizerParams, state: StabilizerState,
         fade_count=sel(new_state.fade_count, state.fade_count),
         canvas=sel(new_state.canvas, state.canvas),
         canvas_weight=sel(new_state.canvas_weight, state.canvas_weight),
+        envelope_exceeded=sel(new_state.envelope_exceeded,
+                              state.envelope_exceeded),
     )
     return new_state, out, ready
 
@@ -522,6 +538,7 @@ def stabilizer_step_metrics_fn(params: StabilizerParams,
     sync these per frame — fetch them at reporting cadence only."""
     state, metrics = stabilizer_analyze_step_fn(params, state, frame_u8)
     state, out, ready = stabilizer_emit_gated_fn(params, state)
+    metrics["envelope_exceeded"] = state.envelope_exceeded
     return state, out, ready, metrics
 
 

@@ -66,6 +66,12 @@ class StabilizerState(NamedTuple):
     # Conditional-CLAHE feature starvation counter (Stabilizer.h:422)
     starvation_counter: jnp.ndarray  # int32
 
+    # Envelope-violation observability: count of emitted corrections whose
+    # |rotation| or |shift| exceeded the static warp envelope
+    # (warp_envelope_deg / 128 px) — beyond it the Pallas/XLA warp clamps
+    # (degrades) silently, so the counter is the only signal.
+    envelope_exceeded: jnp.ndarray  # int32
+
     # Stream PRNG (RANSAC hypothesis sampling)
     key: jax.Array
 
@@ -116,6 +122,7 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         canvas=jnp.zeros((hc, wc, 3), jnp.float32),
         canvas_weight=jnp.zeros((hc, wc), jnp.float32),
         starvation_counter=jnp.int32(0),
+        envelope_exceeded=jnp.int32(0),
         key=jax.random.PRNGKey(params.seed),
         deepstab=(),
     )

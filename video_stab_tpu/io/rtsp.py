@@ -92,7 +92,8 @@ def packetize_h264(nals: List[bytes], timestamp: int, seq: int,
 class _Session:
     """One RTSP client connection in PLAY state."""
 
-    def __init__(self, sock: socket.socket, session_id: str, channel: int):
+    def __init__(self, sock: socket.socket, session_id: str, channel: int,
+                 wlock: Optional[threading.Lock] = None):
         self.sock = sock
         self.session_id = session_id
         self.channel = channel      # interleaved channel for RTP
@@ -100,7 +101,12 @@ class _Session:
         self.ssrc = secrets.randbelow(1 << 32)
         self.playing = False
         self.dead = False
-        self.lock = threading.Lock()
+        # Shared per-CONNECTION write lock: control replies (OPTIONS/
+        # GET_PARAMETER keepalives answered during PLAY) write to the same
+        # socket as the RTP sender; sendall is not atomic across threads,
+        # so every socket write must hold this lock or reply bytes can
+        # interleave inside a '$'-framed RTP packet.
+        self.lock = wlock if wlock is not None else threading.Lock()
 
     def send_access_unit(self, nals: List[bytes], timestamp: int) -> None:
         packets, self.seq = packetize_h264(nals, timestamp, self.seq,
@@ -219,16 +225,23 @@ class RTSPServer(FrameSink):
         sock.settimeout(30.0)
         f = sock.makefile("rb")
         session: Optional[_Session] = None
+        wlock = threading.Lock()    # one write lock per connection
         try:
             while True:
-                request = f.readline()
-                if not request:
+                # Peek one byte first: interleaved RTP/RTCP from the client
+                # (ffmpeg sends RTCP receiver reports on channel+1) is
+                # BINARY, not line-delimited — readline() would misparse it.
+                first = f.read(1)
+                if not first:
                     break
-                if request[:1] == b"$":     # interleaved data from client
-                    hdr = request + f.read(3 - len(request) + 1)
-                    _, _, ln = struct.unpack("!BBH", hdr[:4])
-                    f.read(ln)
+                if first == b"$":           # interleaved data from client
+                    hdr = f.read(3)         # channel (1) + length (2)
+                    if len(hdr) < 3:
+                        break
+                    _, ln = struct.unpack("!BH", hdr)
+                    f.read(ln)              # skip the RTP/RTCP payload
                     continue
+                request = first + f.readline()
                 headers = {}
                 while True:
                     line = f.readline()
@@ -245,7 +258,7 @@ class RTSPServer(FrameSink):
                 method, url = parts[0], parts[1]
                 cseq = headers.get("cseq", "0")
                 session = self._dispatch(sock, method, url, headers, cseq,
-                                         session)
+                                         session, wlock)
                 if session is _CLOSE:
                     break
         except (OSError, ValueError):
@@ -260,30 +273,36 @@ class RTSPServer(FrameSink):
                 pass
 
     def _reply(self, sock, cseq: str, extra: Dict[str, str] = {},
-               body: str = "") -> None:
-        lines = ["RTSP/1.0 200 OK", f"CSeq: {cseq}"]
+               body: str = "", wlock: Optional[threading.Lock] = None,
+               status: str = "200 OK") -> None:
+        lines = [f"RTSP/1.0 {status}", f"CSeq: {cseq}"]
         lines += [f"{k}: {v}" for k, v in extra.items()]
         if body:
             lines.append(f"Content-Length: {len(body)}")
         msg = "\r\n".join(lines) + "\r\n\r\n" + body
-        sock.sendall(msg.encode("latin1"))
+        data = msg.encode("latin1")
+        if wlock is not None:
+            with wlock:
+                sock.sendall(data)
+        else:
+            sock.sendall(data)
 
-    def _dispatch(self, sock, method, url, headers, cseq, session):
+    def _dispatch(self, sock, method, url, headers, cseq, session, wlock):
         if method == "OPTIONS":
             self._reply(sock, cseq, {"Public": (
                 "OPTIONS, DESCRIBE, SETUP, PLAY, PAUSE, TEARDOWN,"
-                " GET_PARAMETER")})
+                " GET_PARAMETER")}, wlock=wlock)
         elif method == "DESCRIBE":
             host = sock.getsockname()[0]
             body = self._sdp(host)
             self._reply(sock, cseq, {
                 "Content-Base": url if url.endswith("/") else url + "/",
-                "Content-Type": "application/sdp"}, body)
+                "Content-Type": "application/sdp"}, body, wlock=wlock)
         elif method == "SETUP":
             transport = headers.get("transport", "")
             if "TCP" not in transport.upper():
-                sock.sendall((f"RTSP/1.0 461 Unsupported Transport\r\n"
-                              f"CSeq: {cseq}\r\n\r\n").encode())
+                self._reply(sock, cseq, wlock=wlock,
+                            status="461 Unsupported Transport")
                 return session
             channel = 0
             if "interleaved=" in transport:
@@ -293,34 +312,36 @@ class RTSPServer(FrameSink):
                 except ValueError:
                     channel = 0
             sid = secrets.token_hex(8)
-            session = _Session(sock, sid, channel)
+            session = _Session(sock, sid, channel, wlock=wlock)
             with self._slock:
                 self._sessions[sid] = session
             self._reply(sock, cseq, {
                 "Transport": (f"RTP/AVP/TCP;unicast;"
                               f"interleaved={channel}-{channel + 1}"),
-                "Session": sid})
+                "Session": sid}, wlock=wlock)
         elif method == "PLAY":
             if session is not None:
                 session.playing = True
                 self._force_key = True      # fast join: next frame is IDR
             self._reply(sock, cseq, {
                 "Session": session.session_id if session else "",
-                "RTP-Info": f"url={url}/track0"})
+                "RTP-Info": f"url={url}/track0"}, wlock=wlock)
         elif method == "PAUSE":
             if session is not None:
                 session.playing = False
             self._reply(sock, cseq, {
-                "Session": session.session_id if session else ""})
+                "Session": session.session_id if session else ""},
+                wlock=wlock)
         elif method == "GET_PARAMETER":
             self._reply(sock, cseq, {
-                "Session": session.session_id if session else ""})
+                "Session": session.session_id if session else ""},
+                wlock=wlock)
         elif method == "TEARDOWN":
-            self._reply(sock, cseq, {})
+            self._reply(sock, cseq, {}, wlock=wlock)
             return _CLOSE
         else:
-            sock.sendall((f"RTSP/1.0 405 Method Not Allowed\r\n"
-                          f"CSeq: {cseq}\r\n\r\n").encode())
+            self._reply(sock, cseq, wlock=wlock,
+                        status="405 Method Not Allowed")
         return session
 
     # -- lifecycle ----------------------------------------------------------

@@ -65,9 +65,10 @@ def _slab_select(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
     ww = jnp.arange(w, dtype=jnp.int32)
     # Selection runs in bf16 on the MXU (the dominant matmul: (N,s,H) x
     # (C,H,W) over the full level-0 plane). One-hot weights are exact in
-    # any dtype; image values round to bf16 (<=0.25 u8-levels on the
-    # fractional pyramid levels) — far below LK's noise floor, ~4x the
-    # matmul throughput. Accumulation stays f32.
+    # any dtype; image values round to bf16 (ulp is 1.0 for values in
+    # [128,256), so fractional pyramid-level values round by <=0.5
+    # u8-levels) — below LK's noise floor, ~4x the matmul throughput.
+    # Accumulation stays f32.
     oh = (ry[:, :, None] == hh[None, None, :]).astype(jnp.bfloat16)
     ow = (rx[:, :, None] == ww[None, None, :]).astype(jnp.bfloat16)
     # rows: (N,s,H) @ (C,H,W) -> (N,C,s,W); cols: -> (N,C,s,s)
