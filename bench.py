@@ -35,9 +35,35 @@ import numpy as np
 SCAN_K_1080 = 240     # frames per dispatch (8 s of 30 fps video)
 SCAN_K_4K = 120
 SCAN_K_MULTI = 120
+SCAN_K_CHAIN = 240
 DEADLINE_S = 600      # wall-clock budget: headline first, extras if time
                       # remains (full-step compiles run minutes on this box;
                       # the persistent .jax_cache makes repeat runs cheap)
+
+
+def _make_pool(h, w, n=4, seed=0):
+    """Textured jittered frame pool — realistic content for the
+    data-dependent paths (GFTT frontier depth, LK convergence), unlike the
+    round-1/2 noise pool (VERDICT r2 weak #2). A smooth random world viewed
+    through a jittering window, mirroring tests/conftest.make_textured."""
+    rng = np.random.default_rng(seed)
+    pad = 32
+    world = rng.random((h + 2 * pad, w + 2 * pad)).astype(np.float32)
+    kern = np.exp(-0.5 * (np.arange(-6, 7) / 2.0) ** 2)
+    kern /= kern.sum()
+    world = np.apply_along_axis(
+        lambda r: np.convolve(r, kern, mode="same"), 1, world)
+    world = np.apply_along_axis(
+        lambda c: np.convolve(c, kern, mode="same"), 0, world)
+    world -= world.min()
+    world /= max(world.max(), 1e-6)
+    world = (world * 255.0).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        dx, dy = rng.integers(-8, 9, 2)
+        f = world[pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+        frames.append(np.stack([f, np.roll(f, 1, 0), 255 - f], axis=-1))
+    return np.stack(frames)
 
 
 def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
@@ -58,12 +84,10 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
 
     params = StabilizerParams(smoothing_radius=smoothing_radius)
     assert k >= params.effective_radius + 1
-    rng = np.random.default_rng(0)
     # The pool is a jit ARGUMENT (device-resident across calls), not a
     # closed-over constant: baked-in multi-MB constants blow past the
     # remote compiler's request-size limit at 4K (HTTP 413).
-    pool = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (4, h, w, 3), dtype=np.uint8)))
+    pool = jax.device_put(jnp.asarray(_make_pool(h, w)))
 
     def one_step(st, frame):
         st, out, _ready = stabilizer_step_fn(params, st, frame)
@@ -130,6 +154,69 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
         dt = time.perf_counter() - t0
     frames = n_iters * k * n_streams
     return frames / dt, dt / (n_iters * k) * 1e3
+
+
+def _bench_scan_chain(h, w, k, n_iters, smoothing_radius=15):
+    """Scan-amortized throughput of the FUSED SERVING CHAIN
+    (enhance + roll-correct + stabilize — what `entry()` ships and
+    vsg.cpp:1246-1313 runs per frame), not just the stabilizer step."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stab_tpu.core.chain import (ChainParams, chain_gated_step_fn,
+                                           chain_state_init)
+    from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                            RollCorrectionParams,
+                                            StabilizerParams)
+
+    params = ChainParams(
+        mode=ModeParams(enhancer_enabled=True, roll_correction_enabled=True,
+                        stabilizer_enabled=True),
+        enhancer=EnhancerParams(), roll=RollCorrectionParams(),
+        stabilizer=StabilizerParams(smoothing_radius=smoothing_radius))
+    pool = jax.device_put(jnp.asarray(_make_pool(h, w)))
+
+    def scan_fn(st, frame_pool):
+        def body(carry, i):
+            frame = jax.lax.dynamic_index_in_dim(
+                frame_pool, i % 4, keepdims=False)
+            carry, out, _ready = chain_gated_step_fn(params, carry, frame)
+            return carry, jnp.mean(out.astype(jnp.float32))
+
+        st, means = jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
+        return st, jnp.mean(means)
+
+    scan_jit = jax.jit(scan_fn, donate_argnums=0)
+    state = jax.device_put(chain_state_init(params, h, w), jax.devices()[0])
+    compiled = scan_jit.lower(state, pool).compile()
+
+    import contextlib
+    import fcntl
+    import os
+
+    lock_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_lock")
+
+    @contextlib.contextmanager
+    def measure_lock():
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    with measure_lock():
+        state, m = compiled(state, pool)
+        float(m)
+        state, m = compiled(state, pool)
+        float(m)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = compiled(state, pool)
+        float(m)
+        dt = time.perf_counter() - t0
+    return (n_iters * k) / dt, dt / (n_iters * k) * 1e3
 
 
 def _bench_dispatch(h, w, n_iters, smoothing_radius=15, mode="compute"):
@@ -224,6 +311,8 @@ def _run_config(name: str, iters: int):
         fps, ms = _bench_scan(2160, 3840, SCAN_K_4K, iters)
     elif name == "multi":
         fps, ms = _bench_scan(1080, 1920, SCAN_K_MULTI, iters, n_streams=8)
+    elif name == "chain":
+        fps, ms = _bench_scan_chain(1080, 1920, SCAN_K_CHAIN, iters)
     else:
         raise SystemExit(f"unknown config {name}")
     print(json.dumps({"config": name, "fps": fps, "ms": ms}), flush=True)
@@ -251,7 +340,7 @@ def main():
     # Children spawn FIRST so their compiles overlap the transfer probe.
     here = os.path.abspath(__file__)
     procs = {}
-    for name in ("4k", "multi"):
+    for name in ("4k", "multi", "chain"):
         procs[name] = subprocess.Popen(
             [sys.executable, here, "--config", name, "--iters", "2"],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
@@ -305,14 +394,22 @@ def main():
     fps_4k = results.get("4k", {}).get("fps")
     ms_4k = results.get("4k", {}).get("ms")
     fps_multi = results.get("multi", {}).get("fps")
+    fps_chain = results.get("chain", {}).get("fps")
+    ms_chain = results.get("chain", {}).get("ms")
 
-    # Healthy windows only: per-dispatch latency + full-frame delivery.
-    if degraded or budget_left() < 90:
+    # Per-dispatch latency + full-frame delivery: measured in EVERY window
+    # (VERDICT r2 #3) — a degraded tunnel inflates them, so re-probe first
+    # (the compile phase may have outlived the degradation) and label the
+    # numbers tunnel_bound rather than omitting them.
+    up2, down2 = _transfer_gbps()
+    latency_tunnel_bound = min(up2, down2) < 2.0
+    n_lat = 10 if latency_tunnel_bound else 30
+    try:
+        _, ms_dispatch = _bench_dispatch(1080, 1920, n_lat)
+        fps_del, _ = _bench_dispatch(1080, 1920, n_lat, mode="full")
+    except Exception:
         ms_dispatch = None
         fps_del = None
-    else:
-        _, ms_dispatch = _bench_dispatch(1080, 1920, 30)
-        fps_del, _ = _bench_dispatch(1080, 1920, 30, mode="full")
 
     out = {
         "metric": "stabilized_fps_1080p",
@@ -324,11 +421,14 @@ def main():
         "fps_4k": round(fps_4k, 2) if fps_4k else None,
         "ms_per_frame_4k_amortized": round(ms_4k, 4) if ms_4k else None,
         "fps_8x1080p_aggregate": round(fps_multi, 2) if fps_multi else None,
+        "fps_1080p_chain": round(fps_chain, 2) if fps_chain else None,
+        "ms_per_frame_1080p_chain": round(ms_chain, 4) if ms_chain else None,
         "scan_frames_per_dispatch": SCAN_K_1080,
         "p50_ms_per_frame_1080p_per_dispatch": (
             round(ms_dispatch, 3) if ms_dispatch else None),
         "fps_1080p_delivered_to_host": (round(fps_del, 2)
                                         if fps_del else None),
+        "latency_tunnel_bound": latency_tunnel_bound,
         "platform": platform,
         "host_to_device_gbps": up_gbps,
         "device_to_host_gbps": down_gbps,

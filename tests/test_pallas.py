@@ -111,3 +111,42 @@ class TestWarpKernel:
         m = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
         out = warp_affine_u8(img, m, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+class TestWarpKernelBranches:
+    """The runtime small-rotation branch (3x fewer taps) and the
+    half-to-even tie rounding contract."""
+
+    def test_small_and_large_branch_both_exact(self):
+        from video_stab_tpu.ops.warp import warp_affine
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.integers(0, 255, (40, 140, 3), dtype=np.uint8))
+        for ang_deg in (0.3, 1.2, 2.8, 5.5):    # small..large branch @6 deg
+            ang = np.radians(ang_deg)
+            m = jnp.array([[np.cos(ang), -np.sin(ang), 1.7],
+                           [np.sin(ang), np.cos(ang), -2.4]], jnp.float32)
+            ref = np.asarray(warp_affine(img.astype(jnp.float32), m))
+            ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.int64)
+            out = np.asarray(warp_affine_u8(img, m,
+                                            interpret=True)).astype(np.int64)
+            d = np.abs(out - ref_u8)
+            # Exact except where the f32 bilinear value sits within float
+            # accumulation tolerance of a .5 rounding boundary (two equal
+            # formulations may land on either side there).
+            near_tie = np.abs(ref - np.floor(ref) - 0.5) < 1e-3
+            assert d[~near_tie].max() == 0, (ang_deg, d[~near_tie].max())
+            assert d.max() <= 1, (ang_deg, d.max())
+
+    def test_half_even_tie_rounding(self):
+        """A pure +0.5 px translation on alternating 0/1 pixels produces
+        exact .5 bilinear ties everywhere: the kernel must round
+        half-to-even (cv2 saturate_cast / jnp.round), not half-up."""
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        img = np.zeros((16, 130), np.uint8)
+        img[:, 1::2] = 1                    # 0,1,0,1,... -> ties at 0.5
+        m = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.0]], jnp.float32)
+        out = np.asarray(warp_affine_u8(jnp.asarray(img), m,
+                                        interpret=True))
+        # interior ties: (0+1)/2 = 0.5 -> round-half-even -> 0
+        assert (out[:, 2:-2] == 0).all(), np.unique(out[:, 2:-2])

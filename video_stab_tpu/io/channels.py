@@ -25,23 +25,36 @@ from video_stab_tpu.utils.telemetry import get_logger
 
 
 class Channel:
-    """Latest-only frame slot (the interpipesink/src pair)."""
+    """Pub/sub slot (the interpipesink/src pair).
 
-    def __init__(self, name: str):
+    depth=1 (default): latest-only — late subscribers skip straight to the
+    newest frame (raw-frame channels, where freshness beats completeness).
+    depth>1: lossless ordered ring of the last `depth` items — REQUIRED for
+    packet (compressed-domain) channels, where dropping an access unit
+    breaks the decode chain and byte-identity (P-frames reference their
+    predecessors; the reference's interpipe elements queue for the same
+    reason)."""
+
+    def __init__(self, name: str, depth: int = 1):
         self.name = name
+        self.depth = depth
         self._cond = threading.Condition()
-        self._frame: Optional[np.ndarray] = None
+        self._items: Dict[int, object] = {}     # seq -> item (depth newest)
         self._seq = 0
 
-    def publish(self, frame: np.ndarray) -> None:
+    def publish(self, frame) -> None:
         with self._cond:
-            self._frame = frame
             self._seq += 1
+            self._items[self._seq] = frame
+            if len(self._items) > self.depth:
+                del self._items[self._seq - self.depth]
             self._cond.notify_all()
 
     def subscribe(self, last_seq: int, timeout: float = 0.5):
-        """Block until a frame newer than last_seq arrives.
-        Returns (frame, seq) or (None, last_seq)."""
+        """Block until an item newer than last_seq arrives. Returns
+        (item, seq) — the OLDEST retained item newer than last_seq (in-order
+        delivery; with depth=1 that is simply the latest) — or
+        (None, last_seq) on timeout."""
         deadline = time.monotonic() + timeout
         with self._cond:
             while self._seq <= last_seq:
@@ -49,7 +62,10 @@ class Channel:
                 if remaining <= 0:
                     return None, last_seq
                 self._cond.wait(remaining)
-            return self._frame, self._seq
+            seq = max(last_seq + 1, self._seq - len(self._items) + 1)
+            while seq not in self._items:       # overwritten: skip forward
+                seq += 1
+            return self._items[seq], seq
 
 
 class Pipeline:
@@ -87,7 +103,10 @@ class Pipeline:
 
     def _next_frame(self, last_seq: int):
         if self.source is not None:
-            return self.source.read(), last_seq
+            item = self.source.read()
+            if item is None:
+                time.sleep(0.005)       # EOF / transient gap: don't spin
+            return item, last_seq
         name = self.listen_to
         if name is None:
             time.sleep(0.01)

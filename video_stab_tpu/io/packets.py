@@ -24,6 +24,7 @@ output pipeline re-points between the compressed "source_pkt" channel
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from typing import Callable, Iterator, List, Optional
@@ -140,6 +141,306 @@ class PacketSource:
             self._file = None
 
 
+class RtspPacketSource:
+    """Live RTSP/RTP *client* at the packet level — the rtspsrc->
+    rtph264depay->h264parse head of the reference's compressed ingest
+    (GstdManager.cpp:155-180): DESCRIBE/SETUP/PLAY over RTSP/1.0 with
+    TCP-interleaved transport, RFC 6184 depacketization (single-NAL, FU-A,
+    STAP-A), access units grouped on the RTP marker bit. No decoder is ever
+    constructed, so a live camera can take the byte-identical passthrough
+    path.
+
+    Same ``read() -> access unit | None`` surface as :class:`PacketSource`.
+    """
+
+    def __init__(self, url: str, queue_size: int = 256,
+                 timeout: float = 10.0, logging: bool = False):
+        self.url = url
+        self.timeout = timeout
+        self.log = get_logger("RtspPacketSource", logging)
+        self._sock = None
+        self._file = None
+        self._cseq = 0
+        self._session: Optional[str] = None
+        self._sprop_nals: List[bytes] = []      # SPS/PPS from the SDP
+        self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._stop_evt = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._wlock = threading.Lock()
+        self.units_read = 0
+
+    # -- RTSP control ------------------------------------------------------
+    def _request(self, method: str, url: str, extra: dict = {}) -> dict:
+        self._cseq += 1
+        lines = [f"{method} {url} RTSP/1.0", f"CSeq: {self._cseq}",
+                 "User-Agent: vstab"]
+        if self._session:
+            lines.append(f"Session: {self._session}")
+        lines += [f"{k}: {v}" for k, v in extra.items()]
+        with self._wlock:
+            self._sock.sendall(("\r\n".join(lines) + "\r\n\r\n").encode())
+        # Replies arrive in order on the control channel before PLAY.
+        status = self._file.readline().decode("latin1", "replace")
+        if "200" not in status:
+            raise ConnectionError(f"RTSP {method}: {status.strip()}")
+        headers = {}
+        while True:
+            line = self._file.readline()
+            if not line or line in (b"\r\n", b"\n"):
+                break
+            k, _, v = line.decode("latin1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        body = b""
+        n = int(headers.get("content-length", 0))
+        if n:
+            body = self._file.read(n)
+        headers["_body"] = body
+        return headers
+
+    def _connect(self) -> None:
+        import socket as socket_mod
+        from urllib.parse import urlparse
+
+        u = urlparse(self.url)
+        host, port = u.hostname or "127.0.0.1", u.port or 554
+        self._sock = socket_mod.create_connection((host, port),
+                                                  timeout=self.timeout)
+        self._file = self._sock.makefile("rb")
+        self._request("OPTIONS", self.url)
+        desc = self._request("DESCRIBE", self.url,
+                             {"Accept": "application/sdp"})
+        sdp = desc["_body"].decode("latin1", "replace")
+        control = "track0"
+        for line in sdp.splitlines():
+            line = line.strip()
+            if line.startswith("a=control:") and "video" not in line:
+                c = line[len("a=control:"):]
+                if c != "*":
+                    control = c
+            if "sprop-parameter-sets=" in line:
+                import base64
+                props = line.split("sprop-parameter-sets=")[1]
+                props = props.split(";")[0].split()[0]
+                for b64 in props.split(","):
+                    try:
+                        self._sprop_nals.append(
+                            b"\x00\x00\x00\x01" + base64.b64decode(b64))
+                    except Exception:
+                        pass
+        setup_url = control if control.startswith("rtsp://") \
+            else self.url.rstrip("/") + "/" + control
+        resp = self._request(
+            "SETUP", setup_url,
+            {"Transport": "RTP/AVP/TCP;unicast;interleaved=0-1"})
+        self._session = resp.get("session", "").split(";")[0]
+        self._request("PLAY", self.url, {"Range": "npt=0.000-"})
+
+    # -- RTP depacketization (RFC 6184) ------------------------------------
+    def _rtp_loop(self) -> None:
+        au: List[bytes] = []
+        fu_buf: Optional[bytearray] = None
+        sprop_pending = list(self._sprop_nals)
+
+        def emit_au():
+            nonlocal au, sprop_pending
+            if not au:
+                return
+            if sprop_pending and not any(
+                    nal_type(n) in (7, 8) for n in au):
+                au = sprop_pending + au     # out-of-band SPS/PPS, once
+            sprop_pending = []
+            try:
+                self._queue.put(au, timeout=1.0)
+            except queue.Full:
+                self.log.info("packet queue full; dropping access unit")
+            au = []
+
+        try:
+            while not self._stop_evt.is_set():
+                first = self._file.read(1)
+                if not first:
+                    break
+                if first != b"$":
+                    # Interleaved RTSP reply (keepalive response): consume
+                    # the text head; any Content-Length body too.
+                    line = first + self._file.readline()
+                    headers = {}
+                    while True:
+                        ln = self._file.readline()
+                        if not ln or ln in (b"\r\n", b"\n"):
+                            break
+                        k, _, v = ln.decode("latin1").partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                    n = int(headers.get("content-length", 0) or 0)
+                    if n:
+                        self._file.read(n)
+                    continue
+                hdr = self._file.read(3)
+                if len(hdr) < 3:
+                    break
+                channel, ln = hdr[0], int.from_bytes(hdr[1:3], "big")
+                payload = self._file.read(ln)
+                if len(payload) < ln or channel != 0 or ln < 13:
+                    continue            # RTCP (ch 1) or short packet
+                v_p_x_cc = payload[0]
+                marker = bool(payload[1] & 0x80)
+                cc = v_p_x_cc & 0x0F
+                off = 12 + 4 * cc
+                if v_p_x_cc & 0x10:     # extension header
+                    if len(payload) < off + 4:
+                        continue
+                    ext_len = int.from_bytes(payload[off + 2:off + 4], "big")
+                    off += 4 + 4 * ext_len
+                data = payload[off:]
+                if not data:
+                    continue
+                ntype = data[0] & 0x1F
+                if 1 <= ntype <= 23:            # single NAL unit
+                    au.append(b"\x00\x00\x00\x01" + data)
+                elif ntype == 24:               # STAP-A aggregation
+                    p = 1
+                    while p + 2 <= len(data):
+                        sz = int.from_bytes(data[p:p + 2], "big")
+                        p += 2
+                        if sz == 0 or p + sz > len(data):
+                            break
+                        au.append(b"\x00\x00\x00\x01" + data[p:p + sz])
+                        p += sz
+                elif ntype == 28 and len(data) >= 2:   # FU-A fragmentation
+                    fu_header = data[1]
+                    if fu_header & 0x80:        # start
+                        nal_hdr = (data[0] & 0xE0) | (fu_header & 0x1F)
+                        fu_buf = bytearray(
+                            b"\x00\x00\x00\x01" + bytes([nal_hdr]))
+                    if fu_buf is not None:
+                        fu_buf += data[2:]
+                        if fu_header & 0x40:    # end
+                            au.append(bytes(fu_buf))
+                            fu_buf = None
+                if marker:
+                    emit_au()
+        except OSError:
+            pass
+        finally:
+            emit_au()
+            self._queue.put(None)       # EOF sentinel
+
+    # -- PacketSource surface ----------------------------------------------
+    def start(self) -> "RtspPacketSource":
+        self._connect()
+        self._thread = threading.Thread(target=self._rtp_loop, daemon=True,
+                                        name="rtsp-packet-source")
+        self._thread.start()
+        return self
+
+    def read(self, timeout: float = 5.0) -> Optional[List[bytes]]:
+        if self._thread is None:
+            self.start()
+        try:
+            au = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return None
+        if au is None:
+            return None
+        self.units_read += 1
+        return au
+
+    def stop(self) -> None:
+        self._stop_evt.set()
+        try:
+            if self._sock is not None:
+                if self._session:
+                    try:
+                        self._cseq += 1
+                        with self._wlock:
+                            self._sock.sendall(
+                                (f"TEARDOWN {self.url} RTSP/1.0\r\n"
+                                 f"CSeq: {self._cseq}\r\n"
+                                 f"Session: {self._session}\r\n\r\n"
+                                 ).encode())
+                    except OSError:
+                        pass
+                self._sock.close()
+        except OSError:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+
+
+class PacketEncoderBridge:
+    """Frame -> packet bridge: re-encodes processed BGR frames into H.264
+    access units (the appsrc->x264enc->interpipesink 'processed-out'
+    pipeline, examples/vsg.cpp:487-497). Lazy like the decoder bridge."""
+
+    def __init__(self, fps: int = 30, bitrate_kbps: int = 0):
+        self.fps = fps
+        self.bitrate_kbps = bitrate_kbps
+        self._encoder = None
+        self.units_out = 0
+
+    def encode_frame(self, frame: np.ndarray) -> Optional[List[bytes]]:
+        from video_stab_tpu.io.codec import VideoEncoder
+        from video_stab_tpu.io.sinks import bitrate_bps_app
+
+        if self._encoder is None:
+            h, w = frame.shape[:2]
+            bps = (self.bitrate_kbps * 1000 or
+                   bitrate_bps_app(w, h, self.fps))
+            self._encoder = VideoEncoder(w, h, self.fps, bitrate_bps=bps,
+                                         zerolatency=True)
+        data = self._encoder.encode(frame)
+        if not data:
+            return None
+        self.units_out += 1
+        return split_nal_units(data)
+
+    def close(self) -> None:
+        if self._encoder is not None:
+            self._encoder.close()
+            self._encoder = None
+
+
+class RtspPacketSinkAdapter:
+    """write(au) adapter over RTSPServer.push_packet — the compressed tail
+    of the output pipeline (interpipesrc->rtspclientsink,
+    GstdManager.cpp:213-229)."""
+
+    def __init__(self, server):
+        self.server = server
+
+    def write(self, au: List[bytes]) -> None:
+        self.server.push_packet(au)
+
+    def close(self) -> None:
+        self.server.close()
+
+
+def open_packet_sink(target: str, fps: float = 30.0):
+    """Packet-sink dispatch: '*.h264' -> PacketFileSink; 'rtsp://...' ->
+    RTSPServer relaying pre-encoded units; '' -> counting null sink."""
+    if not target or target == "null":
+        class _Null:
+            units = 0
+
+            def write(self, au):
+                self.units += 1
+
+            def close(self):
+                pass
+        return _Null()
+    if target.startswith("rtsp://"):
+        from video_stab_tpu.io.rtsp import RTSPServer
+        rest = target[len("rtsp://"):]
+        host_port, _, mount = rest.partition("/")
+        port = int(host_port.rsplit(":", 1)[-1]) if ":" in host_port \
+            else 8554
+        server = RTSPServer(port=port, mount="/" + (mount or "stream"),
+                            fps=int(fps)).start()
+        return RtspPacketSinkAdapter(server)
+    return PacketFileSink(target)
+
+
 class PacketFileSink:
     """Byte-identical Annex-B writer — the passthrough relay's tail."""
 
@@ -171,10 +472,12 @@ class PacketDecoderBridge:
         self.codec = codec
         self._decoder: Optional[VideoDecoder] = None
         self.frames_out = 0
+        self.ever_constructed = False   # survives close() — observability
 
     def decode_unit(self, au: List[bytes]) -> List[np.ndarray]:
         if self._decoder is None:
             self._decoder = VideoDecoder(self.codec)
+            self.ever_constructed = True
         frames = self._decoder.decode(b"".join(au))
         self.frames_out += len(frames)
         return frames

@@ -44,7 +44,8 @@ class StabilizerApp:
                  sink: Optional[FrameSink] = None,
                  enable_tcp: bool = False, tcp_port: int = 5000,
                  enable_rest: bool = False, rest_port: int = 5001,
-                 max_frames: int = 0, fused: bool = True):
+                 max_frames: int = 0, fused: bool = True,
+                 packet_mode: Optional[bool] = None):
         self.cfg = config
         self.fused = fused
         self.config_path = config_path
@@ -57,6 +58,53 @@ class StabilizerApp:
         self._build_processors()
 
         self.graph = StreamGraph()
+        self.packet_mode = self._decide_packet_mode(packet_mode, sink)
+        if self.packet_mode:
+            self._build_packet_graph()
+        else:
+            self._build_frame_graph(sink)
+
+        self.tcp: Optional[TcpReceiver] = \
+            TcpReceiver(tcp_port).start() if enable_tcp else None
+        self.rest: Optional[ConfigRestServer] = None
+        if enable_rest and config_path:
+            self.rest = ConfigRestServer(config_path, rest_port).start()
+        self.watcher: Optional[ConfigWatcher] = None
+        if config_path:
+            self.watcher = ConfigWatcher(config_path, self._on_config_change)
+
+        self._frames_out = 0
+        self._tracker = None
+        if self.cfg.mode.tracker_enabled:
+            from video_stab_tpu.models.tracker import ObjectTracker
+            self._tracker = ObjectTracker(self.cfg.tracker)
+
+    # -- graph construction -------------------------------------------------
+    def _decide_packet_mode(self, packet_mode: Optional[bool],
+                            sink) -> bool:
+        """Packet (compressed-domain) mode: the production passthrough path
+        relays H.264 access units byte-identically with NO decoder, exactly
+        like the reference's gstd/interpipe graph (GstdManager.cpp:155-229;
+        passthrough adds 10-20 ms vs 50-100 ms for decode+re-encode,
+        README_GSTD_INTERPIPE.md:157-158). Auto-on when both endpoints are
+        packet-capable: source is an Annex-B .h264 file or an rtsp:// URL,
+        output is .h264 / rtsp:// / null, and the native codec is present
+        (processing mode needs the decoder+encoder)."""
+        if packet_mode is not None:
+            return packet_mode
+        if sink is not None:
+            return False
+        from video_stab_tpu.io.codec import available
+        src = self.cfg.video_source
+        out = self.cfg.output_source
+        src_ok = src.endswith((".h264", ".264")) or src.startswith("rtsp://")
+        out_ok = (not out or out == "null"
+                  or out.endswith((".h264", ".264"))
+                  or out.startswith("rtsp://"))
+        return src_ok and out_ok and available("libx264")
+
+    def _build_frame_graph(self, sink) -> None:
+        """Decoded-frame graph (the vsg.cpp appsink/appsrc route)."""
         self.source = open_source(
             self.cfg.video_source,
             SourceParams(source=self.cfg.video_source,
@@ -74,20 +122,76 @@ class StabilizerApp:
                                 listen_to=self._initial_route(),
                                 sink=self.sink)
 
-        self.tcp: Optional[TcpReceiver] = \
-            TcpReceiver(tcp_port).start() if enable_tcp else None
-        self.rest: Optional[ConfigRestServer] = None
-        if enable_rest and config_path:
-            self.rest = ConfigRestServer(config_path, rest_port).start()
-        self.watcher: Optional[ConfigWatcher] = None
-        if config_path:
-            self.watcher = ConfigWatcher(config_path, self._on_config_change)
+    def _build_packet_graph(self) -> None:
+        """Compressed-domain graph: access units ride lossless channels; the
+        output pipeline's listen-to flips between the byte-identical
+        "source_pkt" relay and the decoded->processed->re-encoded
+        "processed_pkt" stream (GstdManager.cpp:155-229, 324-327;
+        vsg.cpp:418-525)."""
+        from video_stab_tpu.io.packets import (PacketDecoderBridge,
+                                               PacketEncoderBridge,
+                                               PacketSource,
+                                               RtspPacketSource,
+                                               open_packet_sink)
+        src = self.cfg.video_source
+        fps = int(getattr(self.cfg.camera, "fps", 30) or 30)
+        if src.startswith("rtsp://"):
+            self.source = RtspPacketSource(src)
+        else:
+            # Files are paced at the stream rate: the graph models a LIVE
+            # relay (hot mode switches happen mid-stream, not after an
+            # instant drain of the whole file).
+            self.source = PacketSource(src, realtime_fps=fps)
+        self.sink = open_packet_sink(self.cfg.output_source, fps=fps)
+        self._pkt_decoder = PacketDecoderBridge()
+        self._pkt_encoder = PacketEncoderBridge(fps=fps)
+        self._pkt_wait_idr = True
+        self._pkt_active = self._initial_route() == "processed"
+        # Lossless ordered channels (Channel depth > 1): dropping an access
+        # unit would break the decode chain and byte-identity.
+        self.graph.channel("source_pkt").depth = 256
+        self.graph.channel("processed_pkt").depth = 256
+        self.graph.add_pipeline("source", source=self.source,
+                                publish_to="source_pkt")
+        self.graph.add_pipeline("processing", listen_to="source_pkt",
+                                processor=self._process_packet,
+                                publish_to="processed_pkt")
+        self.graph.add_pipeline(
+            "output",
+            listen_to="processed_pkt" if self._pkt_active else "source_pkt",
+            sink=self.sink)
 
-        self._frames_out = 0
-        self._tracker = None
-        if self.cfg.mode.tracker_enabled:
-            from video_stab_tpu.models.tracker import ObjectTracker
-            self._tracker = ObjectTracker(self.cfg.tracker)
+    @property
+    def decoder_constructed(self) -> bool:
+        """True once the packet graph has EVER instantiated its decoder —
+        stays False over a pure passthrough run (the reference's no-decoder
+        guarantee for passthrough mode). Sticky across stop() so it can be
+        asserted post-run."""
+        return self.packet_mode and self._pkt_decoder.ever_constructed
+
+    def _process_packet(self, au):
+        """Processing branch of the packet graph. In passthrough it drops
+        units WITHOUT decoding (the decoder is never constructed); when
+        processing is switched on mid-stream it waits for the next IDR,
+        attaches the decoder, runs the frame chain, and re-encodes."""
+        if not self._pkt_active:
+            self._pkt_wait_idr = True
+            return None
+        from video_stab_tpu.io.codec import nal_type
+        if self._pkt_wait_idr:
+            if not any(nal_type(n) == 5 for n in au):
+                return None         # resume at the next gop boundary
+            self._pkt_wait_idr = False
+        out_nals = []
+        for frame in self._pkt_decoder.decode_unit(au):
+            out = self._process_frame(frame)
+            if out is None:
+                continue
+            nals = self._pkt_encoder.encode_frame(
+                np.ascontiguousarray(out[:, :, :3]))
+            if nals:
+                out_nals.extend(nals)
+        return out_nals or None
 
     # -- config / processors ----------------------------------------------
     def _build_processors(self):
@@ -133,7 +237,10 @@ class StabilizerApp:
             if new_cfg.mode.tracker_enabled and self._tracker is None:
                 from video_stab_tpu.models.tracker import ObjectTracker
                 self._tracker = ObjectTracker(new_cfg.tracker)
-        self.graph.set_listen_to("output", self._initial_route())
+        if self._initial_route() == "processed":
+            self.switch_processing()
+        else:
+            self.switch_passthrough()
         self.metrics.inc("config_reloads")
 
     # -- per-frame chain (vsg.cpp:1246-1313) -------------------------------
@@ -202,10 +309,19 @@ class StabilizerApp:
 
     # -- interactive controls (vsg.cpp:1426-1451) ---------------------------
     def switch_passthrough(self):
-        self.graph.set_listen_to("output", "source")
+        if self.packet_mode:
+            self._pkt_active = False
+            self.graph.set_listen_to("output", "source_pkt")
+        else:
+            self.graph.set_listen_to("output", "source")
 
     def switch_processing(self):
-        self.graph.set_listen_to("output", "processed")
+        if self.packet_mode:
+            self._pkt_wait_idr = True     # decoder attaches at the next IDR
+            self._pkt_active = True
+            self.graph.set_listen_to("output", "processed_pkt")
+        else:
+            self.graph.set_listen_to("output", "processed")
 
     def print_status(self):
         import json
@@ -249,6 +365,9 @@ class StabilizerApp:
         if self.rest:
             self.rest.stop()
         self.graph.stop()
+        if self.packet_mode:
+            self._pkt_decoder.close()
+            self._pkt_encoder.close()
         if self._tracker is not None:
             self._tracker.release()
 

@@ -133,15 +133,88 @@ def _background(rng, h, w):
     return img, horizon
 
 
+_PHOTO_CACHE: Optional[list] = None
+
+
+def photo_backgrounds() -> list:
+    """Real photographs available OFFLINE from installed packages —
+    matplotlib's grace_hopper.jpg (a public-domain US Navy photograph) and
+    pygame's documentation webcam captures. Used to validate the learned
+    components on photographic (non-rendered) imagery (the reference's
+    TrafficCamNet default is a real-data model, DeepStreamTracker.h:46-52).
+    Returns a list of BGR uint8 images; empty when neither package ships
+    them."""
+    global _PHOTO_CACHE
+    if _PHOTO_CACHE is not None:
+        return _PHOTO_CACHE
+    import glob
+    import os
+
+    import cv2
+    paths = []
+    try:
+        import matplotlib
+        paths.append(os.path.join(os.path.dirname(matplotlib.__file__),
+                                  "mpl-data", "sample_data",
+                                  "grace_hopper.jpg"))
+    except ImportError:
+        pass
+    try:
+        import pygame
+        pat = os.path.join(os.path.dirname(pygame.__file__), "docs",
+                           "generated", "_images", "camera_*.jpg")
+        keep = ("rgb", "average", "background", "yuv", "hsv")
+        paths += [p for p in sorted(glob.glob(pat))
+                  if any(k in os.path.basename(p) for k in keep)]
+    except ImportError:
+        pass
+    imgs = []
+    for p in paths:
+        img = cv2.imread(p)
+        if img is not None and min(img.shape[:2]) >= 120:
+            imgs.append(img)
+    _PHOTO_CACHE = imgs
+    return imgs
+
+
+def _photo_background(rng, h, w):
+    """Photographic background: random crop of a bundled real photo,
+    resized to (h, w) with photometric jitter. Horizon fixed at 0.35h so
+    object placement matches the rendered-scene convention."""
+    import cv2
+    photos = photo_backgrounds()
+    if not photos:                      # packages absent: fall back
+        return _background(rng, h, w)
+    img = photos[int(rng.integers(0, len(photos)))]
+    ih, iw = img.shape[:2]
+    ch = int(ih * rng.uniform(0.6, 1.0))
+    cw = min(iw, max(int(ch * w / h), 32))
+    ch = min(ih, max(int(cw * h / w), 32))
+    y0 = int(rng.integers(0, ih - ch + 1))
+    x0 = int(rng.integers(0, iw - cw + 1))
+    crop = img[y0:y0 + ch, x0:x0 + cw]
+    if rng.random() < 0.5:
+        crop = crop[:, ::-1]
+    out = cv2.resize(crop.astype(np.float32), (w, h),
+                     interpolation=cv2.INTER_AREA)
+    out = out * rng.uniform(0.7, 1.1) + rng.uniform(-10, 10)
+    return out, int(h * 0.35)
+
+
 def render_scene(rng: np.random.Generator, h: int = 192, w: int = 320,
                  n_objects: Optional[int] = None,
                  classes: Tuple[int, ...] = (0, 1, 2, 3),
+                 background: str = "rendered",
                  ) -> Tuple[np.ndarray, List[Tuple[int, float, float, float,
                                                    float]]]:
     """One scene. Returns (frame u8 BGR (h,w,3), boxes) where boxes are
-    (class_id, x, y, bw, bh) in pixels."""
+    (class_id, x, y, bw, bh) in pixels. background="photo" composites the
+    rendered objects onto a real photograph (photo_backgrounds)."""
     import cv2
-    img, horizon = _background(rng, h, w)
+    if background == "photo":
+        img, horizon = _photo_background(rng, h, w)
+    else:
+        img, horizon = _background(rng, h, w)
     n = int(rng.integers(1, 5)) if n_objects is None else n_objects
     boxes = []
     for _ in range(n):
@@ -198,9 +271,12 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
 
 
 def make_detection_batch(rng: np.random.Generator, batch: int, height: int,
-                         width: int, num_classes: int):
+                         width: int, num_classes: int,
+                         photo_prob: float = 0.0):
     """Rendered scenes + CenterNet targets (drop-in for
-    train.synthetic_detection_batch, same contract)."""
+    train.synthetic_detection_batch, same contract). photo_prob mixes in
+    scenes composited onto real photographic backgrounds (domain
+    robustness — the bundled weights fine-tune with photo_prob=0.5)."""
     from video_stab_tpu.models.detector import STRIDE
 
     hs, ws = height // STRIDE, width // STRIDE
@@ -211,7 +287,8 @@ def make_detection_batch(rng: np.random.Generator, batch: int, height: int,
     mask = np.zeros((batch, hs, ws, 1), np.float32)
     yy, xx = np.mgrid[0:hs, 0:ws]
     for b in range(batch):
-        frame, boxes = render_scene(rng, height, width)
+        bg = "photo" if rng.random() < photo_prob else "rendered"
+        frame, boxes = render_scene(rng, height, width, background=bg)
         frames[b] = frame.astype(np.float32)
         for cls, x, y, bw, bh in boxes:
             gx = (x + bw / 2) / STRIDE

@@ -132,14 +132,21 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
                    width: int = 160, mesh: Optional[Mesh] = None,
                    log_every: int = 10, seed: int = 0,
                    use_scenes: bool = False, save_path: str = "",
-                   lr: float = 1e-3):
+                   lr: float = 1e-3, photo_prob: float = 0.0,
+                   init_weights: str = ""):
     """Self-contained training run (tests, CLI, and weight production).
 
     ``use_scenes=True`` trains on rendered traffic scenes (models/scenes.py)
     — the curriculum behind the bundled ``centernet_traffic`` weights;
-    False keeps the fast flat-box batch for smoke tests."""
+    False keeps the fast flat-box batch for smoke tests. ``photo_prob``
+    mixes real-photograph backgrounds into the scene curriculum;
+    ``init_weights`` fine-tunes from a saved checkpoint instead of random
+    init."""
     cfg = DetectorConfig()
     model, params = create_detector(cfg, seed=seed, height=height, width=width)
+    if init_weights:
+        from video_stab_tpu.models.detector import load_detector
+        _, params = load_detector(init_weights, height=height, width=width)
     mesh = mesh or make_train_mesh(model_parallel=1)
     params = shard_params(params, mesh)
     sched = optax.cosine_decay_schedule(lr, max(n_steps, 1), alpha=0.05)
@@ -149,8 +156,11 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
     rng = np.random.default_rng(seed)
     make_batch = synthetic_detection_batch
     if use_scenes:
+        import functools
+
         from video_stab_tpu.models.scenes import make_detection_batch
-        make_batch = make_detection_batch
+        make_batch = functools.partial(make_detection_batch,
+                                       photo_prob=photo_prob)
     losses = []
     for i in range(n_steps):
         frames, targets = make_batch(
@@ -172,17 +182,20 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
 def evaluate_detector(model, params, n_scenes: int = 32, height: int = 192,
                       width: int = 320, iou_thresh: float = 0.5,
                       score_thresh: float = 0.35, seed: int = 9999,
-                      class_agnostic: bool = False):
-    """Recall/precision on held-out rendered scenes — the quality gate the
+                      class_agnostic: bool = False,
+                      background: str = "rendered"):
+    """Recall/precision on held-out scenes — the quality gate the
     reference never had for its TrafficCamNet stage. Matching: greedy IoU
-    >= iou_thresh (and class match unless class_agnostic)."""
+    >= iou_thresh (and class match unless class_agnostic).
+    background="photo" evaluates on real photographic backgrounds
+    (scenes.photo_backgrounds)."""
     from video_stab_tpu.models.detector import detect
     from video_stab_tpu.models.scenes import render_scene
 
     rng = np.random.default_rng(seed)
     tp = fp = fn = 0
     for _ in range(n_scenes):
-        frame, gt = render_scene(rng, height, width)
+        frame, gt = render_scene(rng, height, width, background=background)
         out = detect(model, params, jnp.asarray(frame[None], jnp.float32),
                      score_thresh)
         valid = np.asarray(out["valid"][0])

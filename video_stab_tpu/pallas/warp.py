@@ -45,10 +45,16 @@ STRIP_W = 512           # output columns per grid step
 def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
     """Static shift-term counts for the (TH, TW) tile under the rotation
     envelope (sin bounds the off-diagonals, 1-cos the diagonal deviation).
-    Mirrors ops/warp.py:194-198."""
+    Mirrors ops/warp.py:194-198.
+
+    Sufficiency: base = floor(min over tile of (s - d)) computed from the
+    SAME f32 values the weights use, so (q - d) in [0, range + 1) exactly,
+    where range = max - min <= the analytic bound below. Bilinear needs
+    integer taps 0 .. floor(max q-d) + 1 <= floor(range + 1) + 1
+    <= ceil(range) + 2 terms."""
     s = abs(math.sin(math.radians(float(max_angle_deg))))
-    ry = int(np.ceil(s * (TW - 1) + (s ** 2) * TH + 1)) + 2
-    rx = int(np.ceil(s * (TH - 1) + (s ** 2) * TW + 1)) + 2
+    ry = int(np.ceil(s * (TW - 1) + (s ** 2) * TH)) + 2
+    rx = int(np.ceil(s * (TH - 1) + (s ** 2) * TW)) + 2
     return ry, rx
 
 
@@ -119,9 +125,14 @@ def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
                 inner = inner + wxs[rx] * slab[ry:ry + TH, rx:rx + TW]
             acc = acc + wy * inner
 
+        # Round half-to-even (cv2 saturate_cast / jnp.round semantics), so
+        # TPU and CPU dispatch of warp_affine_fast agree bit-for-bit even
+        # on exact .5 bilinear ties (reachable with rational weights).
+        r = jnp.floor(acc + 0.5)
+        tie_odd = ((r - acc) == 0.5) & ((r * 0.5) != jnp.floor(r * 0.5))
+        r = jnp.where(tie_odd, r - 1.0, r)
         out_ref[0, pl.ds(ty * TH, TH), pl.ds(tx * TW, TW)] = (
-            jnp.clip(acc + 0.5, 0.0, 255.0)
-            .astype(jnp.int32).astype(jnp.uint8))
+            jnp.clip(r, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8))
         return ()
 
     jax.lax.fori_loop(0, nty * ntx, tile_body, (), unroll=False)
@@ -156,9 +167,14 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
     h, w, ch = img.shape
 
     s_env = abs(math.sin(math.radians(float(max_angle_deg))))
-    ry_terms, rx_terms = _envelope_terms(max_angle_deg)
-    sh_a = -(-(TH + ry_terms - 1 + 7) // 8) * 8
-    sw_a = -(-(TW + rx_terms - 1 + 127) // 128) * 128
+    ry_l, rx_l = _envelope_terms(max_angle_deg)
+    # Small-rotation fast branch: most stabilizing corrections sit far
+    # inside the envelope (<= 1/4 of it), where the tap table shrinks ~3x
+    # (e.g. 9x4 -> 4x3 at the default 3 deg). Selected at runtime by an
+    # EXACT per-map bound, so every map still gets exact bilinear.
+    ry_s, rx_s = _envelope_terms(max_angle_deg * 0.25)
+    sh_a = -(-(TH + ry_l - 1 + 7) // 8) * 8
+    sw_a = -(-(TW + rx_l - 1 + 127) // 128) * 128
 
     oh_a = -(-out_h // TH) * TH
     ow_a = -(-out_w // STRIP_W) * STRIP_W
@@ -189,26 +205,46 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         imgp = jnp.pad(img, widths, mode=_pad_mode(border_mode))
     imgp = jnp.transpose(imgp, (2, 0, 1))       # planar (C, Hp, Wp)
 
-    kern = functools.partial(
-        _warp_kernel, out_h=oh_a, pad_y=pad_y, halo_x=halo_x,
-        strip_in_w=strip_in_w, ry_terms=ry_terms, rx_terms=rx_terms,
-        sh_a=sh_a, sw_a=sw_a)
-    out = pl.pallas_call(
-        kern,
-        grid=(ch, n_strips),
-        in_specs=[
-            pl.BlockSpec((1, 6), lambda c, s: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(imgp.shape[1]),
-                 pl.Element(strip_in_w)),
-                lambda c, s: (c, 0, s * STRIP_W),
-                memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, oh_a, STRIP_W), lambda c, s: (c, 0, s),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
-        interpret=interpret,
-    )(mvec, imgp)
+    def run(imgp, ry_terms, rx_terms):
+        # Slab dims from the LARGE branch: both branches then share
+        # identical slice/roll geometry and differ only in tap count.
+        kern = functools.partial(
+            _warp_kernel, out_h=oh_a, pad_y=pad_y, halo_x=halo_x,
+            strip_in_w=strip_in_w, ry_terms=ry_terms, rx_terms=rx_terms,
+            sh_a=sh_a, sw_a=sw_a)
+        return pl.pallas_call(
+            kern,
+            grid=(ch, n_strips),
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda c, s: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (pl.Element(1), pl.Element(imgp.shape[1]),
+                     pl.Element(strip_in_w)),
+                    lambda c, s: (c, 0, s * STRIP_W),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, oh_a, STRIP_W),
+                                   lambda c, s: (c, 0, s),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
+            interpret=interpret,
+        )(mvec, imgp)
+
+    if (ry_s, rx_s) == (ry_l, rx_l):
+        out = run(imgp, ry_l, rx_l)
+    else:
+        # Exact per-map coordinate ranges over a (TH, TW) tile — the same
+        # quantities _envelope_terms bounds analytically. The small branch
+        # is sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
+        mf = jnp.reshape(mvec, (6,))
+        ry_act = jnp.abs(mf[3]) * (TW - 1) + jnp.abs(mf[4] - 1.0) * TH
+        rx_act = jnp.abs(mf[1]) * (TH - 1) + jnp.abs(mf[0] - 1.0) * TW
+        small_ok = (ry_act <= float(ry_s - 2)) & (rx_act <= float(rx_s - 2))
+        out = jax.lax.cond(
+            small_ok,
+            lambda im: run(im, ry_s, rx_s),
+            lambda im: run(im, ry_l, rx_l),
+            imgp)
     out = jnp.transpose(out, (1, 2, 0))[:out_h, :out_w]
     return out if has_c else out[:, :, 0]

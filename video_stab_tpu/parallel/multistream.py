@@ -142,7 +142,8 @@ class MultiStreamStabilizer:
             self.params.effective_radius
         self._emitted += ready
         self.last_valid = ready
-        if not ready.any():
+        self.last_out_device = out      # sharded device array (placement
+        if not ready.any():             # introspection: addressable_shards)
             return None       # whole batch still warming up
         return np.asarray(out)
 
