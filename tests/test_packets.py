@@ -353,3 +353,35 @@ class TestAppPacketGraph:
         joined_sent = b"|".join(sent_payloads)
         joined_out = b"|".join(out_payloads)
         assert joined_out in joined_sent
+
+
+class TestDaemonPacketGraph:
+    """Packet channel type in the out-of-process GraphDaemon (the gstd
+    counterpart): a .h264 -> .h264 relay through the daemon is
+    byte-identical and never decodes."""
+
+    def test_daemon_packet_relay_byte_identical(self, h264_file, tmp_path):
+        import time
+
+        from video_stab_tpu.io.daemon import GraphDaemonClient
+
+        out_path = str(tmp_path / "daemon_relay.h264")
+        d = GraphDaemonClient(source=h264_file, output=out_path, port=5917)
+        assert d.initialize()
+        try:
+            assert d.create_pipelines()
+            assert d.start()
+            deadline = time.time() + 30
+            done = False
+            while time.time() < deadline:
+                pl = {p["name"]: p for p in d.pipeline_list()}
+                if pl.get("output", {}).get("frames_processed", 0) >= 48:
+                    done = True
+                    break
+                time.sleep(0.2)
+            assert done, d.pipeline_list()
+        finally:
+            d.stop()
+        time.sleep(0.2)
+        with open(h264_file, "rb") as a, open(out_path, "rb") as b:
+            assert a.read() == b.read()

@@ -21,8 +21,9 @@ H, W = 1080, 1920
 K = 120
 
 rng = np.random.default_rng(0)
-frame = jax.device_put(jnp.asarray(
-    rng.integers(0, 255, (H, W, 3), dtype=np.uint8)))
+from bench import _make_pool
+_pool_np = _make_pool(H, W)
+frame = jax.device_put(jnp.asarray(_pool_np[0]))
 
 
 def timed(name, make_scan, carry, n_iters=3):
@@ -47,8 +48,7 @@ from video_stab_tpu.core.stabilizer import (stabilizer_analyze_step_fn,
                                             stabilizer_step_fn)
 
 params = StabilizerParams(smoothing_radius=15)
-pool = jax.device_put(jnp.asarray(
-    rng.integers(0, 255, (4, H, W, 3), dtype=np.uint8)))
+pool = jax.device_put(jnp.asarray(_pool_np))
 
 
 def scan_full(st):
@@ -107,6 +107,9 @@ from video_stab_tpu.ops.resize import resize_bilinear
 ga = resize_bilinear(bgr_to_gray(frame.astype(jnp.float32)),
                      params.analysis_height, params.analysis_width)
 ga = jax.device_put(ga)
+gb = resize_bilinear(bgr_to_gray(jnp.asarray(_pool_np[1], jnp.float32)),
+                     params.analysis_height, params.analysis_width)
+gb = jax.device_put(gb)
 pts0, mask0 = good_features_to_track(
     ga, max_corners=params.max_corners,
     quality_level=params.quality_level,
@@ -114,12 +117,16 @@ pts0, mask0 = good_features_to_track(
 
 
 def scan_lk(carry):
-    g, pts = carry
+    # Track between two DIFFERENT textured frames (a real inter-frame
+    # jitter): self-tracking converges in one Newton step and would
+    # overstate the early-exit win.
+    g, g2, pts = carry
     def body(c, i):
-        g, pts = c
-        curr, st, _err = lk_track(g, g, pts, mask0)
-        return (g, curr), jnp.sum(st.astype(jnp.int32))
-    c, ms = jax.lax.scan(body, (g, pts), jnp.arange(K, dtype=jnp.int32))
+        g, g2, pts = c
+        curr, st, _err = lk_track(g, g2, pts, mask0)
+        return (g, g2, pts), jnp.sum(st.astype(jnp.int32)) \
+            + 0.0 * jnp.sum(curr)
+    c, ms = jax.lax.scan(body, (g, g2, pts), jnp.arange(K, dtype=jnp.int32))
     return c, jnp.sum(ms)
 
 
@@ -152,7 +159,7 @@ if __name__ == "__main__":
         timed("warp large-branch", scan_warp_large, jnp.array(frame))
     if which in ("all", "lk"):
         timed("LK 200pts 2lvl 20it", scan_lk,
-              (jnp.array(ga), jnp.array(pts0)))
+              (jnp.array(ga), jnp.array(gb), jnp.array(pts0)))
     if which in ("all", "gftt"):
         timed("GFTT 200", scan_gftt, jnp.array(ga))
     if which in ("all", "gray"):

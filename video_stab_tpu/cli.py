@@ -32,10 +32,12 @@ def cmd_run(args) -> int:
     _quiet_cv2()
     from video_stab_tpu.io.runner import run_app
 
+    pkt = {"auto": None, "on": True, "off": False}[args.packet]
     app = run_app(args.config, enable_rest=args.rest, enable_tcp=args.tcp,
-                  max_frames=args.frames)
+                  max_frames=args.frames, packet_mode=pkt)
     print(f"[cli] running {args.config} "
-          f"(duration={args.duration or 'inf'}s frames={args.frames or 'inf'})")
+          f"(duration={args.duration or 'inf'}s frames={args.frames or 'inf'}"
+          f" packet_mode={app.packet_mode})")
     app.run(duration=args.duration)
     snap = app.metrics.snapshot()
     print(json.dumps(snap, indent=2, default=str))
@@ -239,6 +241,10 @@ def main(argv=None) -> int:
     pr.add_argument("--frames", type=int, default=0)
     pr.add_argument("--rest", action="store_true")
     pr.add_argument("--tcp", action="store_true")
+    pr.add_argument("--packet", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="compressed-domain graph (auto: when source and "
+                         "output are both H.264-capable)")
     pr.set_defaults(fn=cmd_run)
 
     ps = sub.add_parser("stabilize", help="stabilize a video file")

@@ -38,6 +38,9 @@ from video_stab_tpu.io.sinks import open_sink
 graph = StreamGraph()
 started = False
 
+def _is_packet(target):
+    return target.endswith((".h264", ".264"))
+
 def handle(req):
     global started
     cmd = req.get("cmd")
@@ -45,16 +48,33 @@ def handle(req):
         return {{"ok": True}}
     if cmd == "pipeline_create":
         name = req["name"]
+        packet = bool(req.get("packet"))
         kw = {{}}
         if req.get("source"):
-            kw["source"] = open_source(req["source"],
-                                       SourceParams(source=req["source"]))
+            src = req["source"]
+            if packet or _is_packet(src):
+                # Compressed-domain ingest: relay access units, no decode
+                # (GstdManager.cpp:155-180).
+                from video_stab_tpu.io.packets import (PacketSource,
+                                                       RtspPacketSource)
+                kw["source"] = RtspPacketSource(src)                     if src.startswith("rtsp://")                     else PacketSource(src, realtime_fps=30)
+            else:
+                kw["source"] = open_source(src, SourceParams(source=src))
         if req.get("listen_to"):
             kw["listen_to"] = req["listen_to"]
         if req.get("publish_to"):
             kw["publish_to"] = req["publish_to"]
+            if packet:
+                # Packet channels must be lossless-ordered (an access unit
+                # dropped breaks the decode chain and byte-identity).
+                graph.channel(req["publish_to"]).depth = 256
         if req.get("sink"):
-            kw["sink"] = open_sink(req["sink"])
+            out = req["sink"]
+            if packet or _is_packet(out):
+                from video_stab_tpu.io.packets import open_packet_sink
+                kw["sink"] = open_packet_sink(out)
+            else:
+                kw["sink"] = open_sink(out)
         graph.add_pipeline(name, **kw)
         return {{"ok": True}}
     if cmd == "pipeline_play":
@@ -140,19 +160,24 @@ class GraphDaemonClient:
 
     # -- pipeline construction (GstdManager::createPipelines, 155-229) -----
     def create_pipelines(self) -> bool:
+        # Packet (compressed-domain) graph when both endpoints speak H.264
+        # elementary streams — the gstd passthrough that never decodes.
+        packet = (self.source.endswith((".h264", ".264"))
+                  or self.source.startswith("rtsp://")) and (
+                  self.output.endswith((".h264", ".264")))
         ok = True
         # 1. passthrough: source -> "source" channel
         ok &= self._call({"cmd": "pipeline_create", "name": "capture",
-                          "source": self.source,
+                          "source": self.source, "packet": packet,
                           "publish_to": "source"})["ok"]
         # 2. passthrough relay channel (interpipe passthrough analog)
         ok &= self._call({"cmd": "pipeline_create", "name": "passthrough",
-                          "listen_to": "source",
+                          "listen_to": "source", "packet": packet,
                           "publish_to": "passthrough_out"})["ok"]
         # 3. processing input bridge: clients consume "source" directly
         # 4. output: switchable listen-to -> sink
         ok &= self._call({"cmd": "pipeline_create", "name": "output",
-                          "listen_to": "passthrough_out",
+                          "listen_to": "passthrough_out", "packet": packet,
                           "sink": self.output})["ok"]
         return bool(ok)
 

@@ -160,6 +160,7 @@ def photo_backgrounds() -> list:
     except ImportError:
         pass
     try:
+        os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
         import pygame
         pat = os.path.join(os.path.dirname(pygame.__file__), "docs",
                            "generated", "_images", "camera_*.jpg")
@@ -238,12 +239,21 @@ def render_scene(rng: np.random.Generator, h: int = 192, w: int = 320,
 
 def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
                 w: int = 320, n_objects: int = 2,
-                classes: Tuple[int, ...] = (0,)):
+                classes: Tuple[int, ...] = (0,),
+                background: str = "rendered",
+                pan_px_per_frame: float = 0.0):
     """A clip with objects moving at constant velocity — ground truth for
-    tracker tests (stable IDs). Returns (frames, per-frame boxes)."""
+    tracker tests (stable IDs). Returns (frames, per-frame boxes).
+    background="photo" uses a real photograph; pan_px_per_frame slides the
+    camera window across a wider backdrop (a photographic pan)."""
     import cv2
     base_rng = np.random.default_rng(int(rng.integers(0, 2 ** 31)))
-    bg, horizon = _background(base_rng, h, w)
+    pan_total = int(abs(pan_px_per_frame) * n_frames + 0.5)
+    world_w = w + pan_total
+    if background == "photo":
+        bg, horizon = _photo_background(base_rng, h, world_w)
+    else:
+        bg, horizon = _background(base_rng, h, world_w)
     objs = []
     for _ in range(n_objects):
         cls = int(rng.choice(classes))
@@ -256,14 +266,18 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
         objs.append([cls, cx, cy, vx, scale, seed])
     frames, all_boxes = [], []
     for t in range(n_frames):
+        win_x = int(pan_px_per_frame * t) if pan_px_per_frame > 0 else 0
         img = bg.copy()
         boxes = []
         for cls, cx, cy, vx, scale, seed in objs:
             obj_rng = np.random.default_rng(seed)   # stable appearance
-            x = cx + vx * t
-            if 20 < x < w - 20:
+            x = cx + vx * t + win_x     # keep the object in the pan window
+            if 20 < x - win_x < w - 20:
                 bbox = _DRAWERS[cls](img, obj_rng, x, cy, scale)
-                boxes.append((cls, *map(float, bbox)))
+                bx, by, bw_, bh_ = bbox
+                boxes.append((cls, float(bx - win_x), float(by),
+                              float(bw_), float(bh_)))
+        img = img[:, win_x:win_x + w]
         img = img + base_rng.normal(0, 2, (h, w, 3))
         frames.append(np.clip(img, 0, 255).astype(np.uint8))
         all_boxes.append(boxes)

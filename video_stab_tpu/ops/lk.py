@@ -184,6 +184,13 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
 
         def run_round(carry, _):
             pt0, done0 = carry
+            return jax.lax.cond(jnp.all(done0), lambda c: (c, ()),
+                                _run_round_live, (pt0, done0))
+
+        def _run_round_live(carry):
+            # Skipped entirely (no slab re-fetch matmuls) once every point
+            # has converged — later rounds then cost one branch.
+            pt0, done0 = carry
             cy0 = jnp.floor(pt0[:, 1] - half).astype(jnp.int32) - drift
             cx0 = jnp.floor(pt0[:, 0] - half).astype(jnp.int32) - drift
             c_slab = _slab_select(curr_l, cy0, cx0, s_c)   # (N,s_c,s_c)
@@ -195,8 +202,18 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
                               0.0, s_c - win - 1.0)
                 return _interp_window(c_slab, cy, cx, win)  # (N,win,win)
 
-            def body(_, carry):
-                pt, done = carry
+            def cond(carry):
+                # Early exit once EVERY live point converged (cv2's eps
+                # criterion) — typical content converges in 3-5 Newton
+                # steps, and the iteration body is op-dispatch-bound, so
+                # running the full fixed budget wastes most of the level's
+                # time. Output-identical: converged points are frozen by
+                # the step mask either way.
+                i, pt, done = carry
+                return (i < iters_per) & ~jnp.all(done)
+
+            def body(carry):
+                i, pt, done = carry
                 j_win = window_at(pt)
                 diff = j_win - i_win
                 b1 = jnp.sum(diff * ix_win, axis=(1, 2))
@@ -206,10 +223,11 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
                 step = jnp.where(done, 0.0, 1.0)[:, None]
                 new_pt = pt + step * jnp.stack([dx, dy], axis=-1)
                 done = done | (dx * dx + dy * dy <= eps * eps)
-                return new_pt, done
+                return i + 1, new_pt, done
 
-            out = jax.lax.fori_loop(0, iters_per, body, (pt0, done0))
-            return out, ()
+            _, pt1, done1 = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), pt0, done0))
+            return (pt1, done1), ()
 
         (new_pt, _), _ = jax.lax.scan(run_round, (guess, ~lvl_ok),
                                       None, length=rounds)

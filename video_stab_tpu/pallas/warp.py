@@ -38,7 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
                                      invert_affine)
 
-TH, TW = 32, 128         # output tile: 4 sublane-tiles tall amortizes per-tile slice+roll cost (32 vs 8 rows measured 2.9 vs 4.3 ms at 1080p)
+# Output tile (TH, TW). Tap counts scale as (|sin|*TW + 1) x (|sin|*TH + 1),
+# per-tile slice/roll/convert overhead scales as 1/(TH*TW). Measured at
+# 1080p x3 (small-rotation branch): TH=8 -> 4.3 ms, TH=32 -> 0.94 ms,
+# TH=64 keeps the SAME small-branch tap table (4x3) with half the tiles.
+TH, TW = 64, 128
 STRIP_W = 512           # output columns per grid step
 
 
