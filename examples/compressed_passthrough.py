@@ -8,6 +8,12 @@ next IDR.
 Usage:
   python examples/compressed_passthrough.py in.h264 out.h264
       [--switch-at 60]      # access units before switching to processing
+
+The input may be an Annex-B .h264 file, an mp4/mkv container (demuxed
+compressed — never decoded in passthrough), or a live rtsp:// URL.
+For the MANAGED-app version of the same graph (lossless packet channels,
+hot config/keyboard switching), run:  vstab run cfg.yaml  with an
+H.264-capable source+output — packet mode engages automatically.
 """
 
 import os as _os
@@ -21,7 +27,7 @@ import argparse
 from video_stab_tpu.core.params import StabilizerParams
 from video_stab_tpu.core.stabilizer import Stabilizer
 from video_stab_tpu.io.packets import (PacketDecoderBridge, PacketFileSink,
-                                       PacketSource)
+                                       open_packet_source)
 
 
 def main():
@@ -32,7 +38,9 @@ def main():
                     help="-1 = pure passthrough (no decode ever)")
     args = ap.parse_args()
 
-    src = PacketSource(args.input)
+    # Dispatches by source type: Annex-B .h264, container mp4/mkv (native
+    # demux, no decode), or a live rtsp:// camera (packet-level client).
+    src = open_packet_source(args.input)
     sink = PacketFileSink(args.output)
     bridge = PacketDecoderBridge()
     st = None

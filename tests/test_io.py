@@ -357,3 +357,41 @@ class TestKeyboardControls:
         assert app.graph.pipeline("output").listen_to == "source"
         app.switch_processing()
         assert app.graph.pipeline("output").listen_to == "processed"
+
+
+class TestLosslessChannel:
+    """Channel depth>1: lossless in-order delivery (packet channels must
+    not drop access units — P-frames reference their predecessors)."""
+
+    def test_in_order_no_drops(self):
+        from video_stab_tpu.io.channels import Channel
+        ch = Channel("pkt", depth=64)
+        for i in range(50):
+            ch.publish(i)
+        seq = 0
+        got = []
+        while True:
+            item, seq2 = ch.subscribe(seq, timeout=0.01)
+            if item is None:
+                break
+            got.append(item)
+            seq = seq2
+        assert got == list(range(50))
+
+    def test_latest_only_default(self):
+        from video_stab_tpu.io.channels import Channel
+        ch = Channel("frames")          # depth=1: freshness wins
+        for i in range(10):
+            ch.publish(i)
+        item, _ = ch.subscribe(0, timeout=0.01)
+        assert item == 9
+
+    def test_overflow_skips_forward(self):
+        from video_stab_tpu.io.channels import Channel
+        ch = Channel("pkt", depth=4)
+        for i in range(10):
+            ch.publish(i)
+        item, seq = ch.subscribe(0, timeout=0.01)
+        assert item == 6                # oldest retained after overflow
+        item, _ = ch.subscribe(seq, timeout=0.01)
+        assert item == 7

@@ -385,3 +385,200 @@ class TestDaemonPacketGraph:
         time.sleep(0.2)
         with open(h264_file, "rb") as a, open(out_path, "rb") as b:
             assert a.read() == b.read()
+
+
+class TestContainerPacketSource:
+    """Compressed ingest from CONTAINER files (native libavformat demux +
+    mp4toannexb, io/codec.ContainerDemuxer): the reference's own configs
+    use .m4v sources, relayed compressed by its qtdemux stage."""
+
+    @pytest.fixture(scope="class")
+    def mp4_file(self, tmp_path_factory):
+        import ctypes
+
+        path = str(tmp_path_factory.mktemp("mp4") / "src.mp4")
+        lib = vcodec._load()
+        h = lib.vs_mux_open(path.encode(), 128, 96, 30.0, 400_000,
+                            b"libx264", 1, 10)
+        assert h
+        yy, xx = np.mgrid[0:96, 0:128]
+        for i in range(30):
+            base = ((yy + xx + 4 * i) % 256).astype(np.uint8)
+            f = np.ascontiguousarray(np.stack([base, base, 255 - base], -1))
+            assert lib.vs_mux_write(h, f.ctypes.data_as(ctypes.c_char_p)) \
+                == 0
+        assert lib.vs_mux_close(h) == 0
+        return path
+
+    def test_demux_to_decodable_annexb_no_decode_on_relay(self, mp4_file,
+                                                          tmp_path):
+        from video_stab_tpu.io.packets import (ContainerPacketSource,
+                                               PacketDecoderBridge,
+                                               PacketFileSink, PacketSource)
+        src = ContainerPacketSource(mp4_file)
+        sink = PacketFileSink(str(tmp_path / "from_mp4.h264"))
+        n = 0
+        while (au := src.read()) is not None:
+            sink.write(au)
+            n += 1
+        assert src.codec_name == "h264"
+        src.stop()
+        sink.close()
+        assert n == 30
+        # The relayed Annex-B stream decodes to all 30 frames.
+        dec = vcodec.VideoDecoder()
+        frames = 0
+        rd = PacketSource(str(tmp_path / "from_mp4.h264"))
+        while (au := rd.read()) is not None:
+            frames += len(dec.decode(b"".join(au)))
+        frames += len(dec.flush())
+        dec.close()
+        rd.stop()
+        assert frames == 30
+
+    def test_app_ingests_mp4_compressed(self, mp4_file, tmp_path):
+        """StabilizerApp auto-selects the packet graph for an mp4 source:
+        relays compressed (no decoder) to a .h264 output."""
+        import time
+
+        from video_stab_tpu.core.params import ModeParams
+        from video_stab_tpu.io.packets import ContainerPacketSource
+        from video_stab_tpu.io.runner import StabilizerApp
+        from video_stab_tpu.utils.config import AppConfig
+
+        out_path = str(tmp_path / "from_mp4_app.h264")
+        cfg = AppConfig(video_source=mp4_file, output_source=out_path,
+                        mode=ModeParams())
+        app = StabilizerApp(cfg)
+        assert app.packet_mode
+        assert isinstance(app.source, ContainerPacketSource)
+        app.graph.start()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if app.sink.units_written >= 30 and app.source._eof:
+                break
+            time.sleep(0.1)
+        app.stop()
+        assert app.sink.units_written == 30
+        assert not app.decoder_constructed
+
+
+class TestH265Rtsp:
+    """RFC 7798 HEVC over the RTSP pair (server packetizer + client
+    depacketizer) — the JetsonEncoder's second codec served and ingested
+    at the packet level."""
+
+    @pytest.fixture(scope="class")
+    def h265_aus(self):
+        if not vcodec.available("libx265"):
+            pytest.skip("libx265 unavailable")
+        from video_stab_tpu.io.packets import group_access_units
+        enc = vcodec.VideoEncoder(128, 96, 30, bitrate_bps=400_000,
+                                  codec="libx265")
+        data = b""
+        yy, xx = np.mgrid[0:96, 0:128]
+        for i in range(20):
+            base = ((yy + xx + 4 * i) % 256).astype(np.uint8)
+            data += enc.encode(np.stack([base, base, 255 - base], -1))
+        data += enc.flush()
+        enc.close()
+        # HEVC AU grouping: one AU per frame isn't guaranteed by the H.264
+        # grouper; split on IRAP/first-slice via the 2-byte header. For the
+        # relay test, packet-per-picture granularity is not required —
+        # chunk NALs by picture boundaries using first_slice flag.
+        nals = vcodec.split_nal_units(data)
+
+        def hevc_type(n):
+            raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n[3:]
+            return (raw[0] >> 1) & 0x3F
+
+        def first_slice(n):
+            raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n[3:]
+            return len(raw) > 2 and (raw[2] & 0x80) != 0
+
+        aus, cur, has_vcl = [], [], False
+        for n in nals:
+            t = hevc_type(n)
+            vcl = t <= 31
+            if vcl and has_vcl and first_slice(n):
+                aus.append(cur)
+                cur, has_vcl = [], False
+            cur.append(n)
+            has_vcl = has_vcl or vcl
+        if cur:
+            aus.append(cur)
+        assert len(aus) == 20
+        return aus
+
+    def test_h265_packet_roundtrip_byte_identical(self, h265_aus):
+        import time
+
+        from video_stab_tpu.io.packets import RtspPacketSource
+        from video_stab_tpu.io.rtsp import RTSPServer
+
+        srv = RTSPServer(port=18893, mount="/hevc", fps=30,
+                         codec="h265").start()
+        src = RtspPacketSource("rtsp://127.0.0.1:18893/hevc").start()
+        time.sleep(0.3)
+        assert src.codec_name == "hevc"     # from the SDP rtpmap
+        for au in h265_aus:
+            srv.push_packet(au)
+            time.sleep(0.01)
+        got = []
+        while (au := src.read(timeout=2.0)) is not None:
+            got.append(au)
+        src.stop()
+        srv.close()
+
+        def strip(n):
+            for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+                if n.startswith(sc):
+                    return n[len(sc):]
+            return n
+
+        sent = [strip(n) for au in h265_aus for n in au]
+        recv = [strip(n) for au in got for n in au]
+        assert recv == sent
+
+    def test_h265_rtsp_to_ffmpeg_client(self, h265_aus):
+        """A real ffmpeg/cv2 client decodes our RFC 7798 stream."""
+        import threading
+        import time
+
+        import cv2
+
+        from video_stab_tpu.io.rtsp import RTSPServer
+
+        srv = RTSPServer(port=18894, mount="/hevc2", fps=30,
+                         codec="h265").start()
+        stop = threading.Event()
+
+        def feed():
+            while not stop.is_set():
+                for au in h265_aus:
+                    if stop.is_set():
+                        return
+                    srv.push_packet(au)
+                    time.sleep(1 / 60)
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        try:
+            os.environ["OPENCV_FFMPEG_CAPTURE_OPTIONS"] = \
+                "rtsp_transport;tcp"
+            cap = cv2.VideoCapture(srv.url, cv2.CAP_FFMPEG)
+            assert cap.isOpened()
+            got = 0
+            deadline = time.time() + 20
+            while got < 5 and time.time() < deadline:
+                ok, frame = cap.read()
+                if ok:
+                    assert frame.shape == (96, 128, 3)
+                    got += 1
+            cap.release()
+            assert got >= 5, f"only {got} frames"
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            srv.close()
+            os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)

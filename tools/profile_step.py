@@ -141,6 +141,32 @@ def scan_gftt(g):
     return g, jnp.sum(ms)
 
 
+params_nodetect = StabilizerParams(smoothing_radius=15,
+                                   redetect_interval=1_000_000)
+
+
+def scan_analyze_nodetect(st):
+    def body(c, i):
+        f = jax.lax.dynamic_index_in_dim(pool, i % 4, keepdims=False)
+        c, met = stabilizer_analyze_step_fn(params_nodetect, c, f)
+        return c, met["n_tracked"]
+    st, ms = jax.lax.scan(body, st, jnp.arange(K, dtype=jnp.int32))
+    return st, jnp.sum(ms)
+
+
+def scan_ransac(carry):
+    from video_stab_tpu.motion.estimate import estimate_similarity_ransac
+    pts, key = carry
+    def body(c, i):
+        pts, key = c
+        key, sub = jax.random.split(key)
+        t, ok, inl = estimate_similarity_ransac(
+            pts, pts + 0.5, mask0, sub, threshold=5.0, n_hypotheses=500)
+        return (pts + 0.0 * t[0], key), jnp.sum(inl.astype(jnp.int32))
+    c, ms = jax.lax.scan(body, (pts, key), jnp.arange(K, dtype=jnp.int32))
+    return c, jnp.sum(ms)
+
+
 def scan_gray_resize(f):
     def body(c, i):
         g = resize_bilinear(bgr_to_gray(c.astype(jnp.float32)),
@@ -167,6 +193,13 @@ if __name__ == "__main__":
     if which in ("all", "analyze"):
         st = jax.device_put(stabilizer_state_init(params, H, W))
         timed("analyze step", scan_analyze, st)
+    if which in ("all", "analyze_nod"):
+        st = jax.device_put(stabilizer_state_init(params_nodetect, H, W))
+        timed("analyze no-redetect", scan_analyze_nodetect, st)
+    if which in ("all", "ransac"):
+        import jax.random as jr
+        timed("RANSAC 500x200", scan_ransac,
+              (jnp.array(pts0), jr.PRNGKey(0)))
     if which in ("all", "emit"):
         st = jax.device_put(stabilizer_state_init(params, H, W))
         # preload the ring so emit has frames

@@ -61,6 +61,11 @@ class StabilizerParams:
     # the per-frame cost, especially at 4K - half of what 6 costs. No
     # reference counterpart (cv::warpAffine has no envelope).
     warp_envelope_deg: float = 3.0
+    # Warp kernel branch selection: "auto" picks the small-rotation tap
+    # table per frame via lax.cond; "large" compiles one full-envelope
+    # kernel — the right choice for VMAPPED multi-stream serving, where
+    # vmap lowers a batched-predicate cond to both-branches + select.
+    warp_branch: str = "auto"
 
     smoothing_method: str = "box"    # box | gaussian | kalman
     gaussian_sigma: float = 2.0

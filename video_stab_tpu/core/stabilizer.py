@@ -404,7 +404,8 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         # corrections are small rotations + bounded translations.
         return warp_affine_fast(image, t_mat, border_mode=BORDER_CONSTANT,
                                 max_angle_deg=params.warp_envelope_deg,
-                                max_shift=WARP_MAX_SHIFT)
+                                max_shift=WARP_MAX_SHIFT,
+                                branch=params.warp_branch)
 
     q = state.frame_ring.shape[0]
     # Stay u8 until a stage needs float math (fade blend, canvas) — the

@@ -22,6 +22,17 @@ from video_stab_tpu.io.sinks import (
 )
 from video_stab_tpu.io.channels import Channel, ChannelBridge, Pipeline, StreamGraph
 from video_stab_tpu.io.daemon import GraphDaemonClient
+from video_stab_tpu.io.packets import (
+    ContainerPacketSource,
+    PacketDecoderBridge,
+    PacketEncoderBridge,
+    PacketFileSink,
+    PacketRelay,
+    PacketSource,
+    RtspPacketSource,
+    open_packet_sink,
+    open_packet_source,
+)
 from video_stab_tpu.io.control import (
     ConfigRestServer,
     TcpReceiver,

@@ -88,6 +88,11 @@ def _load():
         lib.vs_mux_bytes_out.argtypes = [c.c_void_p]
         lib.vs_mux_close.restype = c.c_int
         lib.vs_mux_close.argtypes = [c.c_void_p]
+        lib.vs_demux_open.restype = c.c_void_p
+        lib.vs_demux_open.argtypes = [c.c_char_p, c.c_char_p, c.c_int]
+        lib.vs_demux_read.restype = c.c_int
+        lib.vs_demux_read.argtypes = [c.c_void_p, c.c_char_p, c.c_int]
+        lib.vs_demux_close.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
 
@@ -326,3 +331,39 @@ def nal_type(nal: bytes) -> Optional[int]:
     if i is None or len(nal) <= i:
         return None
     return nal[i] & 0x1F
+
+
+class ContainerDemuxer:
+    """MP4/MKV/MOV/M4V -> Annex-B H.264/HEVC packets, NO decode — the
+    qtdemux->h264parse stage of the reference's compressed ingest
+    (GstdManager.cpp:155-180 reads RTSP, its configs also name .m4v
+    container sources). One read() = one video packet (Annex-B bytes, one
+    access unit's worth in decode order), None at EOF."""
+
+    def __init__(self, path: str, max_packet: int = 1 << 22):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native codec library unavailable")
+        self._lib = lib
+        name_buf = ctypes.create_string_buffer(32)
+        self._h = lib.vs_demux_open(path.encode(), name_buf, 32)
+        if not self._h:
+            raise RuntimeError(f"cannot demux {path!r}")
+        self.codec_name = name_buf.value.decode()
+        self._buf = ctypes.create_string_buffer(max_packet)
+        self.packets_read = 0
+
+    def read(self) -> Optional[bytes]:
+        if self._h is None:
+            return None
+        n = self._lib.vs_demux_read(self._h, self._buf,
+                                    len(self._buf.raw))
+        if n <= 0:
+            return None
+        self.packets_read += 1
+        return self._buf.raw[:n]
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.vs_demux_close(self._h)
+            self._h = None

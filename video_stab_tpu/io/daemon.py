@@ -162,7 +162,8 @@ class GraphDaemonClient:
     def create_pipelines(self) -> bool:
         # Packet (compressed-domain) graph when both endpoints speak H.264
         # elementary streams — the gstd passthrough that never decodes.
-        packet = (self.source.endswith((".h264", ".264"))
+        packet = (self.source.endswith((".h264", ".264", ".mp4", ".m4v",
+                                        ".mkv", ".mov"))
                   or self.source.startswith("rtsp://")) and (
                   self.output.endswith((".h264", ".264")))
         ok = True

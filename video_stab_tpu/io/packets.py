@@ -141,6 +141,68 @@ class PacketSource:
             self._file = None
 
 
+class ContainerPacketSource:
+    """Access units from a CONTAINER file (mp4/mkv/mov/m4v) without decode:
+    native libavformat demux + mp4toannexb (io/codec.ContainerDemuxer) —
+    the reference's own configs name .m4v sources ("config (another
+    copy).yaml":2), which its qtdemux GStreamer stage relays compressed.
+    Same read()/stop() surface as :class:`PacketSource`."""
+
+    def __init__(self, path: str, realtime_fps: float = 0.0):
+        self.path = path
+        self.realtime_fps = realtime_fps
+        self._demux = None
+        self._pending: List[List[bytes]] = []
+        self._pending_open: List[bytes] = []
+        self._pending_vcl = False
+        self._eof = False
+        self.units_read = 0
+
+    def start(self) -> "ContainerPacketSource":
+        from video_stab_tpu.io.codec import ContainerDemuxer
+        self._demux = ContainerDemuxer(self.path)
+        return self
+
+    @property
+    def codec_name(self) -> str:
+        return self._demux.codec_name if self._demux else ""
+
+    def read(self) -> Optional[List[bytes]]:
+        if self._demux is None:
+            self.start()
+        while not self._pending and not self._eof:
+            data = self._demux.read()
+            if data is None:
+                self._eof = True
+                if self._pending_open:
+                    self._pending.append(self._pending_open)
+                    self._pending_open = []
+                break
+            # One demuxed packet is one coded picture; group via the same
+            # slice-header logic for robustness (multi-slice packets stay
+            # one unit; SPS/PPS from the BSF attach forward).
+            for nal in split_nal_units(data):
+                is_vcl = nal_type(nal) in VCL_TYPES
+                if is_vcl and self._pending_vcl \
+                        and _starts_new_picture(nal):
+                    self._pending.append(self._pending_open)
+                    self._pending_open = []
+                    self._pending_vcl = False
+                self._pending_open.append(nal)
+                self._pending_vcl = self._pending_vcl or is_vcl
+        if not self._pending:
+            return None
+        if self.realtime_fps > 0:
+            time.sleep(1.0 / self.realtime_fps)
+        self.units_read += 1
+        return self._pending.pop(0)
+
+    def stop(self) -> None:
+        if self._demux is not None:
+            self._demux.close()
+            self._demux = None
+
+
 class RtspPacketSource:
     """Live RTSP/RTP *client* at the packet level — the rtspsrc->
     rtph264depay->h264parse head of the reference's compressed ingest
@@ -167,6 +229,7 @@ class RtspPacketSource:
         self._stop_evt = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._wlock = threading.Lock()
+        self.codec_name = "h264"        # from the SDP rtpmap (h264 | hevc)
         self.units_read = 0
 
     # -- RTSP control ------------------------------------------------------
@@ -213,20 +276,24 @@ class RtspPacketSource:
         control = "track0"
         for line in sdp.splitlines():
             line = line.strip()
+            if line.startswith("a=rtpmap:") and "H265" in line.upper():
+                self.codec_name = "hevc"
             if line.startswith("a=control:") and "video" not in line:
                 c = line[len("a=control:"):]
                 if c != "*":
                     control = c
-            if "sprop-parameter-sets=" in line:
-                import base64
-                props = line.split("sprop-parameter-sets=")[1]
-                props = props.split(";")[0].split()[0]
-                for b64 in props.split(","):
-                    try:
-                        self._sprop_nals.append(
-                            b"\x00\x00\x00\x01" + base64.b64decode(b64))
-                    except Exception:
-                        pass
+            for key in ("sprop-parameter-sets=", "sprop-vps=",
+                        "sprop-sps=", "sprop-pps="):
+                if key in line:
+                    import base64
+                    props = line.split(key)[1].split(";")[0].split()[0]
+                    for b64 in props.split(","):
+                        try:
+                            self._sprop_nals.append(
+                                b"\x00\x00\x00\x01"
+                                + base64.b64decode(b64))
+                        except Exception:
+                            pass
         setup_url = control if control.startswith("rtsp://") \
             else self.url.rstrip("/") + "/" + control
         resp = self._request(
@@ -245,9 +312,15 @@ class RtspPacketSource:
             nonlocal au, sprop_pending
             if not au:
                 return
-            if sprop_pending and not any(
-                    nal_type(n) in (7, 8) for n in au):
-                au = sprop_pending + au     # out-of-band SPS/PPS, once
+
+            def is_ps(n):
+                if self.codec_name == "hevc":
+                    raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n
+                    return raw and ((raw[0] >> 1) & 0x3F) in (32, 33, 34)
+                return nal_type(n) in (7, 8)
+
+            if sprop_pending and not any(is_ps(n) for n in au):
+                au = sprop_pending + au     # out-of-band VPS/SPS/PPS, once
             sprop_pending = []
             try:
                 self._queue.put(au, timeout=1.0)
@@ -294,29 +367,57 @@ class RtspPacketSource:
                 data = payload[off:]
                 if not data:
                     continue
-                ntype = data[0] & 0x1F
-                if 1 <= ntype <= 23:            # single NAL unit
-                    au.append(b"\x00\x00\x00\x01" + data)
-                elif ntype == 24:               # STAP-A aggregation
-                    p = 1
-                    while p + 2 <= len(data):
-                        sz = int.from_bytes(data[p:p + 2], "big")
-                        p += 2
-                        if sz == 0 or p + sz > len(data):
-                            break
-                        au.append(b"\x00\x00\x00\x01" + data[p:p + sz])
-                        p += sz
-                elif ntype == 28 and len(data) >= 2:   # FU-A fragmentation
-                    fu_header = data[1]
-                    if fu_header & 0x80:        # start
-                        nal_hdr = (data[0] & 0xE0) | (fu_header & 0x1F)
-                        fu_buf = bytearray(
-                            b"\x00\x00\x00\x01" + bytes([nal_hdr]))
-                    if fu_buf is not None:
-                        fu_buf += data[2:]
-                        if fu_header & 0x40:    # end
-                            au.append(bytes(fu_buf))
-                            fu_buf = None
+                if self.codec_name == "hevc":    # RFC 7798
+                    ntype = (data[0] >> 1) & 0x3F
+                    if ntype == 48:             # AP aggregation
+                        p = 2
+                        while p + 2 <= len(data):
+                            sz = int.from_bytes(data[p:p + 2], "big")
+                            p += 2
+                            if sz == 0 or p + sz > len(data):
+                                break
+                            au.append(b"\x00\x00\x00\x01"
+                                      + data[p:p + sz])
+                            p += sz
+                    elif ntype == 49 and len(data) >= 3:    # FU
+                        fu_header = data[2]
+                        if fu_header & 0x80:    # start
+                            h0 = (data[0] & 0x81) | ((fu_header & 0x3F) << 1)
+                            fu_buf = bytearray(
+                                b"\x00\x00\x00\x01"
+                                + bytes([h0, data[1]]))
+                        if fu_buf is not None:
+                            fu_buf += data[3:]
+                            if fu_header & 0x40:
+                                au.append(bytes(fu_buf))
+                                fu_buf = None
+                    elif ntype < 48:            # single NAL unit
+                        au.append(b"\x00\x00\x00\x01" + data)
+                else:                            # RFC 6184 H.264
+                    ntype = data[0] & 0x1F
+                    if 1 <= ntype <= 23:        # single NAL unit
+                        au.append(b"\x00\x00\x00\x01" + data)
+                    elif ntype == 24:           # STAP-A aggregation
+                        p = 1
+                        while p + 2 <= len(data):
+                            sz = int.from_bytes(data[p:p + 2], "big")
+                            p += 2
+                            if sz == 0 or p + sz > len(data):
+                                break
+                            au.append(b"\x00\x00\x00\x01"
+                                      + data[p:p + sz])
+                            p += sz
+                    elif ntype == 28 and len(data) >= 2:   # FU-A
+                        fu_header = data[1]
+                        if fu_header & 0x80:    # start
+                            nal_hdr = (data[0] & 0xE0) | (fu_header & 0x1F)
+                            fu_buf = bytearray(
+                                b"\x00\x00\x00\x01" + bytes([nal_hdr]))
+                        if fu_buf is not None:
+                            fu_buf += data[2:]
+                            if fu_header & 0x40:    # end
+                                au.append(bytes(fu_buf))
+                                fu_buf = None
                 if marker:
                     emit_au()
         except OSError:
@@ -399,6 +500,18 @@ class PacketEncoderBridge:
         if self._encoder is not None:
             self._encoder.close()
             self._encoder = None
+
+
+def open_packet_source(source: str, realtime_fps: float = 0.0):
+    """Packet-source dispatch (the compressed half of CamCap's source
+    dispatch, CamCap.cpp:22-77): rtsp:// -> RtspPacketSource;
+    mp4/m4v/mkv/mov -> ContainerPacketSource (native demux); anything else
+    -> Annex-B PacketSource."""
+    if source.startswith("rtsp://"):
+        return RtspPacketSource(source)
+    if source.endswith((".mp4", ".m4v", ".mkv", ".mov")):
+        return ContainerPacketSource(source, realtime_fps=realtime_fps)
+    return PacketSource(source, realtime_fps=realtime_fps)
 
 
 class RtspPacketSinkAdapter:

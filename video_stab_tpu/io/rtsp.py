@@ -20,7 +20,10 @@ deterministic, firewall-friendly mode every client supports
 on localhost/LAN serving and a lot of loss-handling surface.
 
 RTP payload: RFC 6184 H.264 — single-NAL-unit packets, FU-A fragmentation
-for NALs above the interleaved 16-bit frame limit.
+for NALs above the interleaved 16-bit frame limit. codec="h265" serves
+RFC 7798 HEVC instead (single-NAL + FU type 49, sprop-vps/sps/pps SDP) over
+the native libx265 encoder — the JetsonEncoder's second codec
+(examples/JetsonEncoder.cpp H.264/H.265 selection).
 """
 
 from __future__ import annotations
@@ -51,6 +54,46 @@ def _strip_start_code(nal: bytes) -> bytes:
     if nal[:3] == b"\x00\x00\x01":
         return nal[3:]
     return nal
+
+
+def hevc_nal_type(nal: bytes) -> int:
+    """HEVC NAL unit type ((first header byte >> 1) & 0x3F)."""
+    raw = _strip_start_code(nal)
+    return (raw[0] >> 1) & 0x3F if raw else -1
+
+
+def packetize_h265(nals: List[bytes], timestamp: int, seq: int,
+                   ssrc: int) -> Tuple[List[bytes], int]:
+    """RFC 7798 HEVC packetization: single-NAL-unit packets, FU (type 49)
+    fragmentation. Marker on the access unit's last packet."""
+    payloads: List[bytes] = []
+    for nal in nals:
+        raw = _strip_start_code(nal)
+        if len(raw) < 2:
+            continue
+        if len(raw) <= MAX_RTP_PAYLOAD:
+            payloads.append(raw)
+        else:                           # FU (RFC 7798 §4.4.3)
+            ntype = (raw[0] >> 1) & 0x3F
+            # PayloadHdr: type 49, layer/tid copied from the original NAL.
+            ph0 = (raw[0] & 0x81) | (49 << 1)
+            ph1 = raw[1]
+            rest = raw[2:]
+            n = len(rest)
+            for off in range(0, n, MAX_RTP_PAYLOAD):
+                chunk = rest[off:off + MAX_RTP_PAYLOAD]
+                s_bit = 0x80 if off == 0 else 0
+                e_bit = 0x40 if off + MAX_RTP_PAYLOAD >= n else 0
+                fu_header = s_bit | e_bit | ntype
+                payloads.append(bytes([ph0, ph1, fu_header]) + chunk)
+    packets = []
+    for i, payload in enumerate(payloads):
+        marker = 0x80 if i == len(payloads) - 1 else 0
+        hdr = struct.pack("!BBHII", 0x80, marker | RTP_PT, seq & 0xFFFF,
+                          timestamp & 0xFFFFFFFF, ssrc)
+        packets.append(hdr + payload)
+        seq += 1
+    return packets, seq
 
 
 def packetize_h264(nals: List[bytes], timestamp: int, seq: int,
@@ -108,9 +151,10 @@ class _Session:
         # interleave inside a '$'-framed RTP packet.
         self.lock = wlock if wlock is not None else threading.Lock()
 
-    def send_access_unit(self, nals: List[bytes], timestamp: int) -> None:
-        packets, self.seq = packetize_h264(nals, timestamp, self.seq,
-                                           self.ssrc)
+    def send_access_unit(self, nals: List[bytes], timestamp: int,
+                         codec: str = "h264") -> None:
+        pack = packetize_h265 if codec == "h265" else packetize_h264
+        packets, self.seq = pack(nals, timestamp, self.seq, self.ssrc)
         try:
             with self.lock:
                 for p in packets:
@@ -129,10 +173,11 @@ class RTSPServer(FrameSink):
 
     def __init__(self, port: int = 8554, mount: str = "/stream",
                  fps: int = 30, bitrate_kbps: int = 0,
-                 logging: bool = False):
+                 codec: str = "h264", logging: bool = False):
         self.port = port
         self.mount = mount
         self.fps = fps
+        self.codec = codec              # "h264" | "h265" (RFC 7798)
         self.bitrate_kbps = bitrate_kbps    # 0 -> reference heuristic
         self.log = get_logger("RTSPServer", logging)
         self._encoder: Optional[VideoEncoder] = None
@@ -151,8 +196,11 @@ class RTSPServer(FrameSink):
         if self._encoder is None:
             kbps = self.bitrate_kbps or bitrate_kbps_server(w, h, self.fps)
             self._encoder = VideoEncoder(
-                w, h, self.fps, bitrate_bps=kbps * 1000, zerolatency=True)
-            self.log.info("encoder open %dx%d @%d kbps", w, h, kbps)
+                w, h, self.fps, bitrate_bps=kbps * 1000,
+                codec="libx265" if self.codec == "h265" else "libx264",
+                zerolatency=True)
+            self.log.info("encoder open %dx%d @%d kbps (%s)", w, h, kbps,
+                          self.codec)
         force = self._force_key
         self._force_key = False
         data = self._encoder.encode(frame, force_key=force)
@@ -161,17 +209,11 @@ class RTSPServer(FrameSink):
         if not data:
             return
         nals = split_nal_units(data)
-        if self._sprop is None:
-            sps = next((n for n in nals if nal_type(n) == 7), None)
-            pps = next((n for n in nals if nal_type(n) == 8), None)
-            if sps and pps:
-                self._sprop = (
-                    base64.b64encode(_strip_start_code(sps)).decode() + ","
-                    + base64.b64encode(_strip_start_code(pps)).decode())
+        self._note_parameter_sets(nals)
         with self._slock:
             sessions = [s for s in self._sessions.values() if s.playing]
         for s in sessions:
-            s.send_access_unit(nals, self._ts)
+            s.send_access_unit(nals, self._ts, self.codec)
         with self._slock:
             for sid in [sid for sid, s in self._sessions.items() if s.dead]:
                 del self._sessions[sid]
@@ -185,40 +227,54 @@ class RTSPServer(FrameSink):
         rtspclientsink output pipeline). Mixes freely with push_frame as
         long as only one producer is active at a time."""
         nals = list(au)
-        if self._sprop is None:
-            sps = next((n for n in nals if nal_type(n) == 7), None)
-            pps = next((n for n in nals if nal_type(n) == 8), None)
-            if sps and pps:
-                self._sprop = (
-                    base64.b64encode(_strip_start_code(sps)).decode() + ","
-                    + base64.b64encode(_strip_start_code(pps)).decode())
+        self._note_parameter_sets(nals)
         self._ts = (self._ts + RTP_CLOCK // self.fps) & 0xFFFFFFFF
         self.frames_pushed += 1
         with self._slock:
             sessions = [s for s in self._sessions.values() if s.playing]
         for s in sessions:
-            s.send_access_unit(nals, self._ts)
+            s.send_access_unit(nals, self._ts, self.codec)
         with self._slock:
             for sid in [sid for sid, s in self._sessions.items() if s.dead]:
                 del self._sessions[sid]
 
+    def _note_parameter_sets(self, nals: List[bytes]) -> None:
+        if self._sprop is not None:
+            return
+        b64 = lambda n: base64.b64encode(_strip_start_code(n)).decode()
+        if self.codec == "h265":
+            vps = next((n for n in nals if hevc_nal_type(n) == 32), None)
+            sps = next((n for n in nals if hevc_nal_type(n) == 33), None)
+            pps = next((n for n in nals if hevc_nal_type(n) == 34), None)
+            if vps and sps and pps:
+                self._sprop = (f"sprop-vps={b64(vps)};sprop-sps={b64(sps)};"
+                               f"sprop-pps={b64(pps)}")
+        else:
+            sps = next((n for n in nals if nal_type(n) == 7), None)
+            pps = next((n for n in nals if nal_type(n) == 8), None)
+            if sps and pps:
+                self._sprop = (f"packetization-mode=1;"
+                               f"sprop-parameter-sets={b64(sps)},{b64(pps)}")
+
     # -- SDP ----------------------------------------------------------------
     def _sdp(self, host: str) -> str:
-        fmtp = f"a=fmtp:{RTP_PT} packetization-mode=1"
-        if self._sprop:
-            fmtp += f";sprop-parameter-sets={self._sprop}"
-        return "\r\n".join([
+        name = "H265" if self.codec == "h265" else "H264"
+        fmtp = f"a=fmtp:{RTP_PT} " + (
+            self._sprop if self._sprop
+            else ("" if self.codec == "h265" else "packetization-mode=1"))
+        lines = [
             "v=0",
             f"o=- 0 0 IN IP4 {host}",
             "s=vstab",
             "t=0 0",
             f"m=video 0 RTP/AVP {RTP_PT}",
             "c=IN IP4 0.0.0.0",
-            f"a=rtpmap:{RTP_PT} H264/{RTP_CLOCK}",
-            fmtp,
-            "a=control:track0",
-            "",
-        ])
+            f"a=rtpmap:{RTP_PT} {name}/{RTP_CLOCK}",
+        ]
+        if fmtp.strip() != f"a=fmtp:{RTP_PT}":
+            lines.append(fmtp)
+        lines += ["a=control:track0", ""]
+        return "\r\n".join(lines)
 
     # -- RTSP protocol ------------------------------------------------------
     def _handle_connection(self, sock: socket.socket) -> None:

@@ -97,7 +97,9 @@ class StabilizerApp:
         from video_stab_tpu.io.codec import available
         src = self.cfg.video_source
         out = self.cfg.output_source
-        src_ok = src.endswith((".h264", ".264")) or src.startswith("rtsp://")
+        src_ok = (src.endswith((".h264", ".264"))
+                  or src.endswith((".mp4", ".m4v", ".mkv", ".mov"))
+                  or src.startswith("rtsp://"))
         out_ok = (not out or out == "null"
                   or out.endswith((".h264", ".264"))
                   or out.startswith("rtsp://"))
@@ -130,18 +132,16 @@ class StabilizerApp:
         vsg.cpp:418-525)."""
         from video_stab_tpu.io.packets import (PacketDecoderBridge,
                                                PacketEncoderBridge,
-                                               PacketSource,
-                                               RtspPacketSource,
-                                               open_packet_sink)
+                                               open_packet_sink,
+                                               open_packet_source)
         src = self.cfg.video_source
         fps = int(getattr(self.cfg.camera, "fps", 30) or 30)
-        if src.startswith("rtsp://"):
-            self.source = RtspPacketSource(src)
-        else:
-            # Files are paced at the stream rate: the graph models a LIVE
-            # relay (hot mode switches happen mid-stream, not after an
-            # instant drain of the whole file).
-            self.source = PacketSource(src, realtime_fps=fps)
+        # File sources are paced at the stream rate: the graph models a
+        # LIVE relay (hot mode switches happen mid-stream, not after an
+        # instant drain of the whole file). Container ingest stays
+        # compressed too (native demux + mp4toannexb — the reference's
+        # qtdemux stage).
+        self.source = open_packet_source(src, realtime_fps=fps)
         self.sink = open_packet_sink(self.cfg.output_source, fps=fps)
         self._pkt_decoder = PacketDecoderBridge()
         self._pkt_encoder = PacketEncoderBridge(fps=fps)
@@ -178,8 +178,17 @@ class StabilizerApp:
             self._pkt_wait_idr = True
             return None
         from video_stab_tpu.io.codec import nal_type
+        src_codec = getattr(self.source, "codec_name", "") or "h264"
+        is_hevc = src_codec in ("hevc", "h265")
+        if is_hevc and not self._pkt_decoder.decoder_constructed:
+            self._pkt_decoder.codec = "hevc"
         if self._pkt_wait_idr:
-            if not any(nal_type(n) == 5 for n in au):
+            def is_idr(n):
+                if is_hevc:     # IDR_W_RADL/IDR_N_LP/CRA (16..21 IRAP)
+                    raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n[3:]
+                    return raw and 16 <= ((raw[0] >> 1) & 0x3F) <= 21
+                return nal_type(n) == 5
+            if not any(is_idr(n) for n in au):
                 return None         # resume at the next gop boundary
             self._pkt_wait_idr = False
         out_nals = []

@@ -23,6 +23,7 @@ extern "C" {
 }
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 
@@ -418,6 +419,126 @@ int vs_mux_close(void *handle) {
   vs_enc_close(m->enc);
   delete m;
   return rc;
+}
+
+// ---------------------------------------------------------------------------
+// Container demuxer: MP4/MKV/MOV/M4V -> Annex-B H.264/HEVC packets, no
+// decode — lets the compressed-domain passthrough ingest the reference's
+// container sources (configs name data/long_low.m4v) the way its
+// qtdemux->h264parse GStreamer stage does. Packets are emitted in DECODE
+// order (what a relay/decoder consumes) with the mp4toannexb bitstream
+// filter applied, so the output is a valid Annex-B elementary stream.
+// ---------------------------------------------------------------------------
+
+#include <libavcodec/bsf.h>
+
+struct Demuxer {
+  AVFormatContext *fmt = nullptr;
+  AVBSFContext *bsf = nullptr;
+  AVPacket *pkt = nullptr;
+  AVPacket *out = nullptr;
+  int vstream = -1;
+  bool eof = false;
+  bool bsf_eof = false;
+};
+
+// Open a container; returns handle or null. Writes the video codec name
+// ("h264"/"hevc"/...) into codec_name_out (cap bytes).
+void *vs_demux_open(const char *path, char *codec_name_out, int cap) {
+  Demuxer *d = new Demuxer();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->vstream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                   nullptr, 0);
+  if (d->vstream < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  AVCodecParameters *par = d->fmt->streams[d->vstream]->codecpar;
+  const char *name = avcodec_get_name(par->codec_id);
+  if (codec_name_out && cap > 0) {
+    std::snprintf(codec_name_out, cap, "%s", name ? name : "");
+  }
+  const char *bsf_name =
+      par->codec_id == AV_CODEC_ID_H264   ? "h264_mp4toannexb"
+      : par->codec_id == AV_CODEC_ID_HEVC ? "hevc_mp4toannexb"
+                                          : nullptr;
+  const AVBitStreamFilter *f =
+      av_bsf_get_by_name(bsf_name ? bsf_name : "null");
+  if (!f || av_bsf_alloc(f, &d->bsf) < 0 ||
+      avcodec_parameters_copy(d->bsf->par_in, par) < 0 ||
+      av_bsf_init(d->bsf) < 0) {
+    if (d->bsf) av_bsf_free(&d->bsf);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->pkt = av_packet_alloc();
+  d->out = av_packet_alloc();
+  return d;
+}
+
+// Read the next video packet as Annex-B bytes into buf (cap bytes).
+// Returns byte count, 0 at EOF, -1 on error, -2 if cap is too small
+// (call again with a bigger buffer; the packet is NOT consumed... it is
+// dropped — size the buffer generously).
+int vs_demux_read(void *handle, uint8_t *buf, int cap) {
+  Demuxer *d = (Demuxer *)handle;
+  for (;;) {
+    int ret = av_bsf_receive_packet(d->bsf, d->out);
+    if (ret == 0) {
+      int n = d->out->size;
+      if (n > cap) {
+        av_packet_unref(d->out);
+        return -2;
+      }
+      std::memcpy(buf, d->out->data, n);
+      av_packet_unref(d->out);
+      return n;
+    }
+    if (ret == AVERROR_EOF) return 0;
+    if (ret != AVERROR(EAGAIN)) return -1;
+    if (d->eof) {
+      if (!d->bsf_eof) {
+        av_bsf_send_packet(d->bsf, nullptr);
+        d->bsf_eof = true;
+        continue;
+      }
+      return 0;
+    }
+    ret = av_read_frame(d->fmt, d->pkt);
+    if (ret < 0) {
+      d->eof = true;
+      continue;
+    }
+    if (d->pkt->stream_index != d->vstream) {
+      av_packet_unref(d->pkt);
+      continue;
+    }
+    if (av_bsf_send_packet(d->bsf, d->pkt) < 0) {
+      av_packet_unref(d->pkt);
+      return -1;
+    }
+    av_packet_unref(d->pkt);
+  }
+}
+
+void vs_demux_close(void *handle) {
+  Demuxer *d = (Demuxer *)handle;
+  if (!d) return;
+  if (d->bsf) av_bsf_free(&d->bsf);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->out) av_packet_free(&d->out);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
 }
 
 // ---------------------------------------------------------------------------

@@ -263,7 +263,8 @@ def warp_affine_fast(img: jnp.ndarray, m: jnp.ndarray,
                      border_mode: int = BORDER_CONSTANT,
                      border_value: float = 0.0,
                      max_angle_deg: float = 6.0,
-                     max_shift: int = 128) -> jnp.ndarray:
+                     max_shift: int = 128,
+                     branch: str = "auto") -> jnp.ndarray:
     """u8-domain warp dispatcher for the hot per-frame paths.
 
     On TPU: the Pallas whole-plane kernel (pallas/warp.py, ~3.5x faster
@@ -280,7 +281,7 @@ def warp_affine_fast(img: jnp.ndarray, m: jnp.ndarray,
         from video_stab_tpu.pallas.warp import warp_affine_u8
         out = warp_affine_u8(img, m, out_h, out_w, border_mode,
                              border_value, max_angle_deg=max_angle_deg,
-                             max_shift=max_shift)
+                             max_shift=max_shift, branch=branch)
         return out.astype(jnp.float32)
     out = warp_affine_tiled(img.astype(jnp.float32), m, out_h, out_w,
                             border_mode, border_value,

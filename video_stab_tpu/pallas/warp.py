@@ -144,7 +144,7 @@ def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_h", "out_w", "border_mode", "border_value", "inverse_map",
-    "max_angle_deg", "max_shift", "interpret"))
+    "max_angle_deg", "max_shift", "branch", "interpret"))
 def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
                    out_h: int | None = None, out_w: int | None = None,
                    border_mode: int = BORDER_CONSTANT,
@@ -152,6 +152,7 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
                    inverse_map: bool = False,
                    max_angle_deg: float = 6.0,
                    max_shift: int = 128,
+                   branch: str = "auto",
                    interpret: bool = False) -> jnp.ndarray:
     """Pallas full-frame affine warp, u8 HWC in -> u8 HWC out.
 
@@ -235,7 +236,11 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
             interpret=interpret,
         )(mvec, imgp)
 
-    if (ry_s, rx_s) == (ry_l, rx_l):
+    # branch="large": single full-envelope kernel, no lax.cond — for
+    # VMAPPED callers (batched multi-stream serving), where vmap lowers
+    # cond-with-batched-predicate to run-both-branches + select, doubling
+    # the warp cost. "auto" is right for unbatched streaming.
+    if branch == "large" or (ry_s, rx_s) == (ry_l, rx_l):
         out = run(imgp, ry_l, rx_l)
     else:
         # Exact per-map coordinate ranges over a (TH, TW) tile — the same

@@ -82,6 +82,12 @@ class MultiStreamStabilizer:
 
     def __init__(self, params: StabilizerParams, n_streams: int,
                  mesh: Optional[Mesh] = None):
+        if params.warp_branch == "auto":
+            # vmap lowers the warp's small/large lax.cond (batched
+            # predicate) to both-branches + select; one static
+            # full-envelope kernel is strictly cheaper here.
+            import dataclasses
+            params = dataclasses.replace(params, warp_branch="large")
         self.params = params
         self.n_streams = n_streams
         self.mesh = mesh
