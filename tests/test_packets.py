@@ -582,3 +582,109 @@ class TestH265Rtsp:
             t.join(timeout=5)
             srv.close()
             os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
+
+
+class TestContainerPacketSink:
+    """Packet-level container OUTPUT: Annex-B access units remuxed into
+    mp4 WITHOUT re-encode (native vs_muxp_*); payload bytes preserved."""
+
+    def test_h264_to_mp4_remux_byte_identical(self, h264_file, tmp_path):
+        from video_stab_tpu.io.packets import (ContainerPacketSink,
+                                               ContainerPacketSource,
+                                               PacketSource)
+        out_path = str(tmp_path / "remux.mp4")
+        src = PacketSource(h264_file)
+        sink = ContainerPacketSink(out_path, fps=30)
+        sent = []
+        while (au := src.read()) is not None:
+            sink.write(au)
+            sent.append(au)
+        src.stop()
+        sink.close()
+        assert sink.units_written == 48
+        rd = ContainerPacketSource(out_path)
+        back = []
+        while (au := rd.read()) is not None:
+            back.append(au)
+        rd.stop()
+
+        def strip(n):
+            for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+                if n.startswith(sc):
+                    return n[len(sc):]
+            return n
+
+        assert [strip(n) for au in back for n in au] == \
+            [strip(n) for au in sent for n in au]
+
+    def test_app_mp4_to_mp4_compressed_passthrough(self, h264_file,
+                                                   tmp_path):
+        """Full mp4 -> mp4 remux through the managed app graph: demux +
+        remux, never a decoder."""
+        import ctypes
+        import time
+
+        from video_stab_tpu.core.params import ModeParams
+        from video_stab_tpu.io.packets import (ContainerPacketSink,
+                                               ContainerPacketSource,
+                                               PacketSource)
+        from video_stab_tpu.io.runner import StabilizerApp
+        from video_stab_tpu.utils.config import AppConfig
+
+        # build an mp4 source from the h264 fixture via the packet sink
+        mp4_src = str(tmp_path / "src.mp4")
+        src = PacketSource(h264_file)
+        sink = ContainerPacketSink(mp4_src, fps=30)
+        while (au := src.read()) is not None:
+            sink.write(au)
+        src.stop()
+        sink.close()
+
+        out_path = str(tmp_path / "out.mp4")
+        cfg = AppConfig(video_source=mp4_src, output_source=out_path,
+                        mode=ModeParams())
+        app = StabilizerApp(cfg)
+        assert app.packet_mode
+        app.graph.start()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if app.source._eof and app.sink.units_written >= 48:
+                break
+            time.sleep(0.1)
+        app.stop()
+        assert app.sink.units_written == 48
+        assert not app.decoder_constructed
+        rd = ContainerPacketSource(out_path)
+        n = 0
+        while rd.read() is not None:
+            n += 1
+        rd.stop()
+        assert n == 48
+
+
+class TestSpsDimensions:
+    """SPS dimension parser (packet remux needs container dims with no
+    decoder): H.264 incl. frame cropping, HEVC incl. conformance window."""
+
+    @pytest.mark.parametrize("w,h", [(128, 96), (1920, 1080), (1280, 722),
+                                     (204, 116)])
+    def test_h264(self, w, h):
+        from video_stab_tpu.io.packets import sps_dimensions
+        enc = vcodec.VideoEncoder(w, h, 30, bitrate_bps=300_000)
+        data = enc.encode(np.zeros((h, w, 3), np.uint8)) + enc.flush()
+        enc.close()
+        sps = next(n for n in vcodec.split_nal_units(data)
+                   if vcodec.nal_type(n) == 7)
+        assert sps_dimensions(sps) == (w, h)
+
+    def test_hevc(self):
+        if not vcodec.available("libx265"):
+            pytest.skip("libx265 unavailable")
+        from video_stab_tpu.io.packets import sps_dimensions
+        enc = vcodec.VideoEncoder(320, 180, 30, bitrate_bps=300_000,
+                                  codec="libx265")
+        data = enc.encode(np.zeros((180, 320, 3), np.uint8)) + enc.flush()
+        enc.close()
+        sps = next(n for n in vcodec.split_nal_units(data)
+                   if len(n) > 4 and ((n[4] >> 1) & 0x3F) == 33)
+        assert sps_dimensions(sps, hevc=True) == (320, 180)

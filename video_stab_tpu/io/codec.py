@@ -88,6 +88,15 @@ def _load():
         lib.vs_mux_bytes_out.argtypes = [c.c_void_p]
         lib.vs_mux_close.restype = c.c_int
         lib.vs_mux_close.argtypes = [c.c_void_p]
+        lib.vs_muxp_open.restype = c.c_void_p
+        lib.vs_muxp_open.argtypes = [c.c_char_p, c.c_int, c.c_int,
+                                     c.c_double, c.c_char_p, c.c_char_p,
+                                     c.c_int]
+        lib.vs_muxp_write.restype = c.c_int
+        lib.vs_muxp_write.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                      c.c_int]
+        lib.vs_muxp_close.restype = c.c_int
+        lib.vs_muxp_close.argtypes = [c.c_void_p]
         lib.vs_demux_open.restype = c.c_void_p
         lib.vs_demux_open.argtypes = [c.c_char_p, c.c_char_p, c.c_int]
         lib.vs_demux_read.restype = c.c_int

@@ -502,6 +502,220 @@ class PacketEncoderBridge:
             self._encoder = None
 
 
+class _BitReader:
+    """MSB-first bit reader over an RBSP (emulation-prevention removed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:                # Exp-Golomb
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad exp-golomb")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _rbsp(nal_payload: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    i = 0
+    while i < len(nal_payload):
+        if i + 2 < len(nal_payload) and nal_payload[i:i + 3] == \
+                b"\x00\x00\x03":
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(nal_payload[i])
+            i += 1
+    return bytes(out)
+
+
+def sps_dimensions(sps_nal: bytes, hevc: bool = False):
+    """(width, height) from an H.264 or HEVC SPS NAL (Annex-B or raw) —
+    what the packet remuxer needs for container headers without ever
+    constructing a decoder. Returns None on parse failure."""
+    raw = sps_nal
+    for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+        if raw.startswith(sc):
+            raw = raw[len(sc):]
+            break
+    try:
+        if hevc:
+            r = _BitReader(_rbsp(raw[2:]))      # 2-byte NAL header
+            r.u(4)                              # sps_video_parameter_set_id
+            max_sub = r.u(3)
+            r.u(1)                              # temporal_id_nesting
+            # profile_tier_level(1, max_sub)
+            r.u(96)                             # general profile/level
+            sub_profile = [r.u(1) for _ in range(max_sub)]
+            sub_level = [r.u(1) for _ in range(max_sub)]
+            if max_sub > 0:
+                r.u((8 - max_sub) * 2)
+            for i in range(max_sub):
+                if sub_profile[i]:
+                    r.u(88)
+                if sub_level[i]:
+                    r.u(8)
+            r.ue()                              # sps_seq_parameter_set_id
+            chroma = r.ue()
+            if chroma == 3:
+                r.u(1)
+            w = r.ue()                          # pic_width_in_luma_samples
+            h = r.ue()
+            if r.u(1):                          # conformance_window_flag
+                lo, ro, to, bo = r.ue(), r.ue(), r.ue(), r.ue()
+                sub_x = 2 if chroma in (1, 2) else 1
+                sub_y = 2 if chroma == 1 else 1
+                w -= (lo + ro) * sub_x
+                h -= (to + bo) * sub_y
+            return int(w), int(h)
+        r = _BitReader(_rbsp(raw[1:]))          # 1-byte NAL header
+        profile = r.u(8)
+        r.u(16)                                 # constraints + level
+        r.ue()                                  # seq_parameter_set_id
+        chroma = 1
+        if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135):
+            chroma = r.ue()
+            if chroma == 3:
+                r.u(1)
+            r.ue()                              # bit_depth_luma_minus8
+            r.ue()                              # bit_depth_chroma_minus8
+            r.u(1)                              # qpprime
+            if r.u(1):                          # seq_scaling_matrix
+                for i in range(8 if chroma != 3 else 12):
+                    if r.u(1):
+                        size = 16 if i < 6 else 64
+                        last, nxt = 8, 8
+                        for _ in range(size):
+                            if nxt != 0:
+                                nxt = (last + r.se() + 256) % 256
+                            last = last if nxt == 0 else nxt
+        r.ue()                                  # log2_max_frame_num_minus4
+        poc_type = r.ue()
+        if poc_type == 0:
+            r.ue()
+        elif poc_type == 1:
+            r.u(1)
+            r.se()
+            r.se()
+            for _ in range(r.ue()):
+                r.se()
+        r.ue()                                  # max_num_ref_frames
+        r.u(1)                                  # gaps_in_frame_num
+        w_mbs = r.ue() + 1
+        h_map = r.ue() + 1
+        frame_mbs_only = r.u(1)
+        if not frame_mbs_only:
+            r.u(1)
+        r.u(1)                                  # direct_8x8
+        w = w_mbs * 16
+        h = h_map * 16 * (1 if frame_mbs_only else 2)
+        if r.u(1):                              # frame_cropping
+            lo, ro, to, bo = r.ue(), r.ue(), r.ue(), r.ue()
+            sub_x = 2 if chroma in (1, 2) else 1
+            sub_y = 2 if chroma == 1 else (2 if not frame_mbs_only else 2)
+            sub_y = 2 if chroma == 1 else 1
+            sub_y *= 1 if frame_mbs_only else 2
+            w -= (lo + ro) * sub_x
+            h -= (to + bo) * sub_y
+        return int(w), int(h)
+    except (IndexError, ValueError):
+        return None
+
+
+class ContainerPacketSink:
+    """Pre-encoded access units -> MP4/MKV container WITHOUT re-encode
+    (native vs_muxp_*, the reference's qtmux stage): compressed-domain
+    passthrough can terminate in a proper container. Lazily opened at the
+    first access unit carrying parameter sets (SPS/PPS[/VPS] become the
+    stream extradata); per-unit keyframe flags from IDR/IRAP NALs."""
+
+    def __init__(self, path: str, width: int = 0, height: int = 0,
+                 fps: float = 30.0, codec: str = "auto"):
+        self.path = path
+        self.width, self.height = width, height
+        self.fps = fps
+        self.codec = codec
+        self._h = None
+        self._lib = None
+        self.units_written = 0
+
+    def _hevc_type(self, nal: bytes) -> int:
+        raw = nal[4:] if nal[:4] == b"\x00\x00\x00\x01" else nal[3:]
+        return ((raw[0] >> 1) & 0x3F) if raw else -1
+
+    def _open(self, au: List[bytes]) -> bool:
+        from video_stab_tpu.io import codec as vc
+        lib = vc._load()
+        if lib is None:
+            raise RuntimeError("native codec library unavailable")
+        if self.codec == "auto":
+            # H.264 SPS (type 7) and HEVC SPS (type 33) bytes are disjoint.
+            if any(nal_type(n) == 7 for n in au):
+                self.codec = "h264"
+            elif any(self._hevc_type(n) == 33 for n in au):
+                self.codec = "hevc"
+            else:
+                return False    # wait for a parameter-set-bearing unit
+        if self.codec in ("hevc", "h265"):
+            ps = [n for n in au if self._hevc_type(n) in (32, 33, 34)]
+        else:
+            ps = [n for n in au if nal_type(n) in (7, 8)]
+        if not ps:
+            return False        # wait for a unit with parameter sets
+        extra = b"".join(ps)
+        if self.width <= 0 or self.height <= 0:
+            # Container headers need dimensions; parse them from the SPS
+            # (still no decoder).
+            hevc = self.codec in ("hevc", "h265")
+            sps = next((n for n in ps
+                        if (self._hevc_type(n) == 33 if hevc
+                            else nal_type(n) == 7)), None)
+            dims = sps_dimensions(sps, hevc=hevc) if sps else None
+            if dims:
+                self.width, self.height = dims
+        self._h = lib.vs_muxp_open(
+            self.path.encode(), self.width, self.height, float(self.fps),
+            self.codec.encode(), extra, len(extra))
+        if not self._h:
+            raise RuntimeError(f"cannot open packet muxer {self.path!r}")
+        self._lib = lib
+        return True
+
+    def write(self, au: List[bytes]) -> None:
+        if self._h is None and not self._open(au):
+            return
+        blob = b"".join(au)
+        if self.codec in ("hevc", "h265"):
+            key = any(16 <= self._hevc_type(n) <= 21 for n in au)
+        else:
+            key = any(nal_type(n) == 5 for n in au)
+        rc = self._lib.vs_muxp_write(self._h, blob, len(blob), int(key))
+        if rc == 0:
+            self.units_written += 1
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.vs_muxp_close(self._h)
+            self._h = None
+
+
 def open_packet_source(source: str, realtime_fps: float = 0.0):
     """Packet-source dispatch (the compressed half of CamCap's source
     dispatch, CamCap.cpp:22-77): rtsp:// -> RtspPacketSource;
@@ -529,9 +743,11 @@ class RtspPacketSinkAdapter:
         self.server.close()
 
 
-def open_packet_sink(target: str, fps: float = 30.0):
+def open_packet_sink(target: str, fps: float = 30.0,
+                     codec: str = "h264"):
     """Packet-sink dispatch: '*.h264' -> PacketFileSink; 'rtsp://...' ->
-    RTSPServer relaying pre-encoded units; '' -> counting null sink."""
+    RTSPServer relaying pre-encoded units; mp4/mkv/mov -> remuxing
+    ContainerPacketSink (no re-encode); '' -> counting null sink."""
     if not target or target == "null":
         class _Null:
             units = 0
@@ -549,8 +765,10 @@ def open_packet_sink(target: str, fps: float = 30.0):
         port = int(host_port.rsplit(":", 1)[-1]) if ":" in host_port \
             else 8554
         server = RTSPServer(port=port, mount="/" + (mount or "stream"),
-                            fps=int(fps)).start()
+                            fps=int(fps), codec=codec).start()
         return RtspPacketSinkAdapter(server)
+    if target.endswith((".mp4", ".m4v", ".mkv", ".mov")):
+        return ContainerPacketSink(target, fps=fps, codec="auto")
     return PacketFileSink(target)
 
 

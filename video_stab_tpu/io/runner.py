@@ -101,7 +101,8 @@ class StabilizerApp:
                   or src.endswith((".mp4", ".m4v", ".mkv", ".mov"))
                   or src.startswith("rtsp://"))
         out_ok = (not out or out == "null"
-                  or out.endswith((".h264", ".264"))
+                  or out.endswith((".h264", ".264", ".mp4", ".m4v",
+                                   ".mkv", ".mov"))
                   or out.startswith("rtsp://"))
         return src_ok and out_ok and available("libx264")
 

@@ -422,6 +422,100 @@ int vs_mux_close(void *handle) {
 }
 
 // ---------------------------------------------------------------------------
+// Packet remuxer: pre-encoded Annex-B H.264/HEVC access units -> MP4/MKV,
+// NO re-encode — the missing half of compressed-domain passthrough into
+// container outputs (the reference's qtmux stage). movenc accepts Annex-B
+// input (it length-prefixes NALs internally) when extradata carries the
+// parameter sets.
+// ---------------------------------------------------------------------------
+
+struct PacketMuxer {
+  AVFormatContext *fmt = nullptr;
+  AVStream *stream = nullptr;
+  AVPacket *pkt = nullptr;
+  int64_t pts = 0;
+  AVRational tb{};
+};
+
+// extradata: Annex-B SPS+PPS (+VPS for hevc) from the stream's first AU.
+void *vs_muxp_open(const char *path, int width, int height, double fps,
+                   const char *codec_name, const uint8_t *extradata,
+                   int extradata_size) {
+  PacketMuxer *m = new PacketMuxer();
+  if (avformat_alloc_output_context2(&m->fmt, nullptr, nullptr, path) < 0 ||
+      !m->fmt) {
+    delete m;
+    return nullptr;
+  }
+  m->stream = avformat_new_stream(m->fmt, nullptr);
+  if (!m->stream) {
+    avformat_free_context(m->fmt);
+    delete m;
+    return nullptr;
+  }
+  AVCodecParameters *par = m->stream->codecpar;
+  par->codec_type = AVMEDIA_TYPE_VIDEO;
+  par->codec_id = std::strcmp(codec_name, "hevc") == 0 ||
+                          std::strcmp(codec_name, "h265") == 0
+                      ? AV_CODEC_ID_HEVC
+                      : AV_CODEC_ID_H264;
+  par->width = width;
+  par->height = height;
+  if (extradata && extradata_size > 0) {
+    par->extradata = (uint8_t *)av_mallocz(extradata_size +
+                                           AV_INPUT_BUFFER_PADDING_SIZE);
+    std::memcpy(par->extradata, extradata, extradata_size);
+    par->extradata_size = extradata_size;
+  }
+  m->tb = AVRational{1000, (int)(fps * 1000 + 0.5)};
+  m->stream->time_base = m->tb;
+  if (!(m->fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avformat_free_context(m->fmt);
+    delete m;
+    return nullptr;
+  }
+  if (avformat_write_header(m->fmt, nullptr) < 0) {
+    if (m->fmt->pb) avio_closep(&m->fmt->pb);
+    avformat_free_context(m->fmt);
+    delete m;
+    return nullptr;
+  }
+  m->pkt = av_packet_alloc();
+  return m;
+}
+
+// Write one Annex-B access unit. Returns 0 on success.
+int vs_muxp_write(void *handle, const uint8_t *data, int size, int is_key) {
+  PacketMuxer *m = (PacketMuxer *)handle;
+  uint8_t *buf = (uint8_t *)av_malloc(size);
+  if (!buf) return -1;
+  std::memcpy(buf, data, size);
+  if (av_packet_from_data(m->pkt, buf, size) < 0) {
+    av_free(buf);
+    return -1;
+  }
+  m->pkt->pts = m->pkt->dts = m->pts++;
+  m->pkt->stream_index = m->stream->index;
+  if (is_key) m->pkt->flags |= AV_PKT_FLAG_KEY;
+  av_packet_rescale_ts(m->pkt, m->tb, m->stream->time_base);
+  int rc = av_interleaved_write_frame(m->fmt, m->pkt);
+  av_packet_unref(m->pkt);
+  return rc < 0 ? -2 : 0;
+}
+
+int vs_muxp_close(void *handle) {
+  PacketMuxer *m = (PacketMuxer *)handle;
+  if (!m) return 0;
+  int rc = av_write_trailer(m->fmt) < 0 ? -3 : 0;
+  if (m->fmt->pb) avio_closep(&m->fmt->pb);
+  if (m->pkt) av_packet_free(&m->pkt);
+  avformat_free_context(m->fmt);
+  delete m;
+  return rc;
+}
+
+// ---------------------------------------------------------------------------
 // Container demuxer: MP4/MKV/MOV/M4V -> Annex-B H.264/HEVC packets, no
 // decode — lets the compressed-domain passthrough ingest the reference's
 // container sources (configs name data/long_low.m4v) the way its
