@@ -36,9 +36,10 @@ SCAN_K_1080 = 240     # frames per dispatch (8 s of 30 fps video)
 SCAN_K_4K = 120
 SCAN_K_MULTI = 120
 SCAN_K_CHAIN = 240
-DEADLINE_S = 600      # wall-clock budget: headline first, extras if time
-                      # remains (full-step compiles run minutes on this box;
-                      # the persistent .jax_cache makes repeat runs cheap)
+DEADLINE_S = 900      # wall-clock budget: headline first, extras if time
+                      # remains (remote-AOT compiles can run 10+ min per
+                      # config in degraded windows; the driver allows ~1450 s
+                      # and the headline is measured inline regardless)
 
 
 def _make_pool(h, w, n=4, seed=0):

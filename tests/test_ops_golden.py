@@ -283,3 +283,55 @@ class TestFast:
         for fn in (ops.orb_corners, ops.brisk_corners):
             pts, mask = fn(img, 20.0, max_corners=16)
             assert np.asarray(mask).sum() >= 4   # the 4 square corners
+
+
+class TestGfttTwoStageTopK:
+    """The per-row/global two-stage candidate extraction (ops/features.py)
+    must be EXACT vs a flat top_k — including when the per-row budget
+    overflows and the in-graph guard falls back."""
+
+    def _both(self, img, **kw):
+        import video_stab_tpu.ops.features as F
+        pts_a, mask_a = F.good_features_to_track(img, **kw)
+        # force the flat path by shrinking the candidate pool cap so the
+        # static condition h*ROW_BUDGET < n_cand is False... instead call
+        # the flat top_k directly by monkeypatching ROW_BUDGET via a huge
+        # n_candidates (h*32 < n_candidates -> flat branch).
+        pts_b, mask_b = F.good_features_to_track(
+            img, n_candidates=img.shape[0] * 33, **kw)
+        return (np.asarray(pts_a), np.asarray(mask_a),
+                np.asarray(pts_b), np.asarray(mask_b))
+
+    def test_production_size_matches_flat(self):
+        img = make_textured(540, 960, seed=23, sigma=1.2) * 255.0 / 255.0
+        img = make_textured(540, 960, seed=23, sigma=1.2)
+        pa, ma, pb, mb = self._both(img, max_corners=200,
+                                    quality_level=0.01, min_distance=30.0)
+        assert (ma == mb).all()
+        assert np.array_equal(pa[ma], pb[mb])
+
+    def test_vs_cv2_at_production_size(self):
+        img = make_textured(540, 960, seed=29, sigma=1.5)
+        import video_stab_tpu.ops.features as F
+        pts, mask = F.good_features_to_track(
+            img, max_corners=100, quality_level=0.02, min_distance=30.0)
+        pts = np.asarray(pts)[np.asarray(mask)]
+        ref = cv2.goodFeaturesToTrack(img.astype(np.uint8), 100, 0.02,
+                                      30.0, blockSize=3)
+        ref = ref.reshape(-1, 2)
+        hits = sum(np.sqrt(((pts - rp) ** 2).sum(1)).min() < 2.0
+                   for rp in ref)
+        assert hits >= len(ref) * 0.9, (hits, len(ref))
+
+    def test_guard_fallback_on_dense_row(self):
+        """One row stuffed with >32 strong peaks: the guard must trigger
+        and the result still equal the flat path exactly."""
+        img = np.zeros((128, 960), np.float32)
+        for x in range(4, 956, 6):          # ~158 peaks in row band 60
+            img[60:63, x:x + 2] = 255.0
+        rng = np.random.default_rng(0)
+        img += rng.random((128, 960)).astype(np.float32)
+        pa, ma, pb, mb = self._both(img, max_corners=64,
+                                    quality_level=0.01, min_distance=3.0)
+        assert (ma == mb).all()
+        assert np.array_equal(pa[ma], pb[mb])

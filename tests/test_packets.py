@@ -688,3 +688,52 @@ class TestSpsDimensions:
         sps = next(n for n in vcodec.split_nal_units(data)
                    if len(n) > 4 and ((n[4] >> 1) & 0x3F) == 33)
         assert sps_dimensions(sps, hevc=True) == (320, 180)
+
+
+class TestH265ElementaryStream:
+    """Raw .h265 Annex-B files group correctly (HEVC slice semantics) and
+    relay byte-identically through the app's packet graph."""
+
+    def test_h265_file_grouping_and_app_relay(self, tmp_path):
+        import time
+
+        if not vcodec.available("libx265"):
+            pytest.skip("libx265 unavailable")
+        path = str(tmp_path / "src.h265")
+        enc = vcodec.VideoEncoder(128, 96, 30, bitrate_bps=400_000,
+                                  codec="libx265")
+        yy, xx = np.mgrid[0:96, 0:128]
+        with open(path, "wb") as f:
+            for i in range(24):
+                base = ((yy + xx + 4 * i) % 256).astype(np.uint8)
+                f.write(enc.encode(np.stack([base, base, 255 - base], -1)))
+            f.write(enc.flush())
+        enc.close()
+
+        from video_stab_tpu.io.packets import open_packet_source
+        src = open_packet_source(path)
+        assert src.codec_name == "hevc"
+        aus = []
+        while (au := src.read()) is not None:
+            aus.append(au)
+        src.stop()
+        assert len(aus) == 24       # one access unit per coded picture
+
+        from video_stab_tpu.core.params import ModeParams
+        from video_stab_tpu.io.runner import StabilizerApp
+        from video_stab_tpu.utils.config import AppConfig
+
+        out_path = str(tmp_path / "out.h265")
+        cfg = AppConfig(video_source=path, output_source=out_path,
+                        mode=ModeParams())
+        app = StabilizerApp(cfg, packet_mode=True)
+        app.graph.start()
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if app.source._eof and app.sink.units_written >= 24:
+                break
+            time.sleep(0.1)
+        app.stop()
+        assert not app.decoder_constructed
+        with open(path, "rb") as a, open(out_path, "rb") as b:
+            assert a.read() == b.read()

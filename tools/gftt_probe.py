@@ -33,6 +33,20 @@ def scan(g):
             r = min_eig_response(c + i.astype(jnp.float32) * 0.0, 3)
             peak = r >= _dilate3x3(r)
             return c, jnp.sum(peak.astype(jnp.int32))
+        if mode == "rowtopk":
+            r = min_eig_response(c + i.astype(jnp.float32) * 0.0, 3)
+            peak = (r >= _dilate3x3(r)) & (r > 0.01 * jnp.max(r))
+            cand = jnp.where(peak, r, -1.0)
+            rv, ri = jax.lax.top_k(cand, 32)          # (540, 32)
+            flat_v = rv.reshape(-1)
+            flat_i = (jnp.arange(cand.shape[0])[:, None] * cand.shape[1]
+                      + ri).reshape(-1)
+            tv, ti = jax.lax.top_k(flat_v, ncand)
+            tau = tv[ncand - 1]
+            rowcounts = jnp.sum(cand >= tau, axis=1)
+            guard = jnp.any(rowcounts > 32)
+            return c, jnp.sum(tv) + jnp.sum(flat_i[ti]) * 0.0 \
+                + guard.astype(jnp.float32)
         if mode == "topk":
             r = min_eig_response(c + i.astype(jnp.float32) * 0.0, 3)
             peak = (r >= _dilate3x3(r)) & (r > 0.01 * jnp.max(r))

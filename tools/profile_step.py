@@ -117,15 +117,17 @@ pts0, mask0 = good_features_to_track(
 
 
 def scan_lk(carry):
-    # Track between two DIFFERENT textured frames (a real inter-frame
-    # jitter): self-tracking converges in one Newton step and would
-    # overstate the early-exit win.
+    # Track between two DIFFERENT textured frames. The carry must CHAIN
+    # (perturb pts by the result) or the whole LK body is loop-invariant
+    # and XLA hoists it out of the scan — an earlier probe measured
+    # 0.08 ms that way (hoisted, fake). Chain with a zero-mean epsilon so
+    # the tracked positions stay honest.
     g, g2, pts = carry
     def body(c, i):
         g, g2, pts = c
         curr, st, _err = lk_track(g, g2, pts, mask0)
-        return (g, g2, pts), jnp.sum(st.astype(jnp.int32)) \
-            + 0.0 * jnp.sum(curr)
+        pts = pts + 1e-6 * (curr - pts)    # data dependence, ~no drift
+        return (g, g2, pts), jnp.sum(st.astype(jnp.int32))
     c, ms = jax.lax.scan(body, (g, g2, pts), jnp.arange(K, dtype=jnp.int32))
     return c, jnp.sum(ms)
 
@@ -162,9 +164,46 @@ def scan_ransac(carry):
         key, sub = jax.random.split(key)
         t, ok, inl = estimate_similarity_ransac(
             pts, pts + 0.5, mask0, sub, threshold=5.0, n_hypotheses=500)
-        return (pts + 0.0 * t[0], key), jnp.sum(inl.astype(jnp.int32))
+        return (pts + 0.0 * t[0, 0], key), jnp.sum(inl.astype(jnp.int32))
     c, ms = jax.lax.scan(body, (pts, key), jnp.arange(K, dtype=jnp.int32))
     return c, jnp.sum(ms)
+
+
+grays = []
+for _f in _pool_np:
+    grays.append(resize_bilinear(bgr_to_gray(jnp.asarray(_f, jnp.float32)),
+                                 params.analysis_height,
+                                 params.analysis_width))
+grays_stack = jax.device_put(jnp.stack(grays))      # (4, Ha, Wa)
+
+
+def scan_lk_pairs(carry):
+    """LK over the SAME frame pairs the analyze scan tracks (i%4 ->
+    (i+1)%4, including the large wrap-around 3->0 shift) with real
+    detected points — the in-context convergence cost."""
+    gs, pts = carry
+    def body(c, i):
+        gs, pts = c
+        a = jax.lax.dynamic_index_in_dim(gs, i % 4, keepdims=False)
+        b = jax.lax.dynamic_index_in_dim(gs, (i + 1) % 4, keepdims=False)
+        curr, st, _err = lk_track(a, b, pts, mask0)
+        return (gs, pts), jnp.sum(st.astype(jnp.int32)) \
+            + 0.0 * jnp.sum(curr)
+    c, ms = jax.lax.scan(body, (gs, pts), jnp.arange(K, dtype=jnp.int32))
+    return c, jnp.sum(ms)
+
+
+def scan_analyze_warm(st):
+    """analyze with a PROPERLY INITIALIZED state (points detected on
+    frame 0) — the earlier analyze probes started from a zero state."""
+    from video_stab_tpu.core.stabilizer import stabilizer_init_step_fn
+    st = stabilizer_init_step_fn(params, st, jnp.asarray(_pool_np[0]))
+    def body(c, i):
+        f = jax.lax.dynamic_index_in_dim(pool, i % 4, keepdims=False)
+        c, met = stabilizer_analyze_step_fn(params, c, f)
+        return c, met["n_tracked"]
+    st, ms = jax.lax.scan(body, st, jnp.arange(K, dtype=jnp.int32))
+    return st, jnp.sum(ms)
 
 
 def scan_gray_resize(f):
@@ -174,6 +213,43 @@ def scan_gray_resize(f):
         return c, jnp.mean(g)
     f, ms = jax.lax.scan(body, f, jnp.arange(K, dtype=jnp.int32))
     return f, jnp.mean(ms)
+
+
+def scan_analyze_patched(st):
+    """analyze with RANSAC stubbed to identity — isolates its in-context
+    cost (run with mode=analyze_nr)."""
+    import video_stab_tpu.core.stabilizer as stab_mod
+
+    def fake_ransac(prev, curr, mask, key, threshold=5.0,
+                    n_hypotheses=500):
+        m = jnp.asarray([[1.0, 0.0, 0.1], [0.0, 1.0, 0.1]], jnp.float32)
+        return m + 0.0 * prev[0, 0], jnp.asarray(True), mask
+
+    orig = stab_mod.estimate_similarity_ransac
+    stab_mod.estimate_similarity_ransac = fake_ransac
+    try:
+        def body(c, i):
+            f = jax.lax.dynamic_index_in_dim(pool, i % 4, keepdims=False)
+            c, met = stabilizer_analyze_step_fn(params_nodetect, c, f)
+            return c, met["n_tracked"]
+        st, ms = jax.lax.scan(body, st, jnp.arange(K, dtype=jnp.int32))
+    finally:
+        stab_mod.estimate_similarity_ransac = orig
+    return st, jnp.sum(ms)
+
+
+def scan_ringwrite(carry):
+    """Isolated cost of the look-ahead ring DUS inside a donated scan
+    carry (the frame_ring.at[n % q].set(frame) pattern)."""
+    ring, n = carry
+    def body(c, i):
+        ring, n = c
+        f = jax.lax.dynamic_index_in_dim(pool, i % 4, keepdims=False)
+        ring = jax.lax.dynamic_update_index_in_dim(ring, f, n % 16, 0)
+        return (ring, n + 1), jnp.float32(0.0)
+    c, _ = jax.lax.scan(body, (ring, n), jnp.arange(K, dtype=jnp.int32))
+    ring, n = c
+    return c, jnp.sum(ring[0, 0, 0].astype(jnp.float32))
 
 
 if __name__ == "__main__":
@@ -200,6 +276,19 @@ if __name__ == "__main__":
         import jax.random as jr
         timed("RANSAC 500x200", scan_ransac,
               (jnp.array(pts0), jr.PRNGKey(0)))
+    if which == "lk_pairs":
+        timed("LK in-context pairs", scan_lk_pairs,
+              (jnp.array(grays_stack), jnp.array(pts0)))
+    if which == "analyze_warm":
+        st = jax.device_put(stabilizer_state_init(params, H, W))
+        timed("analyze warm-init", scan_analyze_warm, st)
+    if which == "ringwrite":
+        ring0 = jnp.zeros((16, H, W, 3), jnp.uint8)
+        timed("ring DUS write", scan_ringwrite,
+              (jax.device_put(ring0), jnp.int32(0)))
+    if which == "analyze_nr":
+        st = jax.device_put(stabilizer_state_init(params_nodetect, H, W))
+        timed("analyze nodet noransac", scan_analyze_patched, st)
     if which in ("all", "emit"):
         st = jax.device_put(stabilizer_state_init(params, H, W))
         # preload the ring so emit has frames

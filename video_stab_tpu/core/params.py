@@ -69,7 +69,13 @@ class StabilizerParams:
 
     smoothing_method: str = "box"    # box | gaussian | kalman
     gaussian_sigma: float = 2.0
-    motion_prediction: bool = True
+    # Declared true-by-default in the reference but DEAD there
+    # (predictNextMotion never called): effective behavior is off. Here it
+    # is LIVE (coarse global-translation LK prior, ops/lk.py) but defaults
+    # off to match the reference's effective behavior — the prior costs
+    # ~0.2 ms/frame and only pays off under large inter-frame motion
+    # (fast pans beyond LK's top-level drift budget).
+    motion_prediction: bool = False
     horizon_lock: bool = False
 
     feature_detector: str = FeatureDetector.GFTT

@@ -208,11 +208,29 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
         est_ok = jnp.asarray(True)
         key = state.key
     else:
-        # Sparse pyramidal LK from the previous analysis frame.
+        # Sparse pyramidal LK from the previous analysis frame. With
+        # motion_prediction (a parameter the reference declares but never
+        # wires — predictNextMotion has no live call site) a coarse GLOBAL
+        # translation measured by one tiny correlation conv at quarter
+        # resolution seeds the initial guess, keeping the top-level Newton
+        # iterations inside their convergence basin so the early-exit
+        # fires (ops/lk.py global_translation_prior / init_pts).
+        init_pts = None
+        if params.motion_prediction:
+            from video_stab_tpu.ops.lk import global_translation_prior
+            sc = 2 ** params.lk_levels
+            prev_small = resize_bilinear(
+                state.prev_gray, params.analysis_height // sc,
+                params.analysis_width // sc)
+            curr_small = resize_bilinear(
+                gray, params.analysis_height // sc,
+                params.analysis_width // sc)
+            g = global_translation_prior(prev_small, curr_small) * sc
+            init_pts = state.prev_pts + g[None, :]
         curr_pts, status, _err = lk_track(
             state.prev_gray, gray, state.prev_pts, state.prev_mask,
             win=params.lk_window, max_level=params.lk_levels,
-            iters=params.lk_iters)
+            iters=params.lk_iters, init_pts=init_pts)
         valid = state.prev_mask & status
 
         # RANSAC 4-DOF similarity (estimateAffinePartial2D,

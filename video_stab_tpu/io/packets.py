@@ -34,35 +34,51 @@ import numpy as np
 from video_stab_tpu.io.codec import VideoDecoder, nal_type, split_nal_units
 from video_stab_tpu.utils.telemetry import get_logger
 
-VCL_TYPES = {1, 2, 3, 4, 5}       # coded-slice NAL unit types
+VCL_TYPES = {1, 2, 3, 4, 5}       # H.264 coded-slice NAL unit types
 
 
-def _starts_new_picture(nal: bytes) -> bool:
-    """True when a VCL NAL begins a new coded picture: its slice header's
-    first field, first_mb_in_slice (ue(v)), is 0 — encoded as a leading
-    '1' bit. Multi-slice pictures (x264 sliced-threads) have first_mb > 0
-    for the follow-on slices."""
-    i = 3 if nal[:3] == b"\x00\x00\x01" else 4
-    if len(nal) <= i + 1:
+def _hdr_offset(nal: bytes) -> int:
+    return 3 if nal[:3] == b"\x00\x00\x01" else 4
+
+
+def _is_vcl(nal: bytes, codec: str = "h264") -> bool:
+    if codec in ("hevc", "h265"):
+        i = _hdr_offset(nal)
+        return i < len(nal) and ((nal[i] >> 1) & 0x3F) <= 31
+    return nal_type(nal) in VCL_TYPES
+
+
+def _starts_new_picture(nal: bytes, codec: str = "h264") -> bool:
+    """True when a VCL NAL begins a new coded picture.
+
+    H.264: the slice header's first field, first_mb_in_slice (ue(v)), is 0
+    — encoded as a leading '1' bit (multi-slice pictures have first_mb > 0
+    for follow-on slices). HEVC: first_slice_segment_in_pic_flag is the
+    first BIT after the 2-byte NAL header."""
+    i = _hdr_offset(nal)
+    off = i + 2 if codec in ("hevc", "h265") else i + 1
+    if len(nal) <= off:
         return True
-    return (nal[i + 1] & 0x80) != 0
+    return (nal[off] & 0x80) != 0
 
 
-def group_access_units(nals: List[bytes]) -> Iterator[List[bytes]]:
+def group_access_units(nals: List[bytes],
+                       codec: str = "h264") -> Iterator[List[bytes]]:
     """Group a NAL sequence into access units (one coded picture each):
-    non-VCL NALs (SPS, PPS, SEI, AUD) attach to the NEXT picture; a VCL NAL
-    with first_mb_in_slice == 0 starts a new picture; additional slices of
-    the same picture (sliced-threads encoders) stay in the same unit."""
+    non-VCL NALs (VPS/SPS/PPS/SEI/AUD) attach to the NEXT picture; a VCL
+    NAL whose first-slice flag is set starts a new picture; additional
+    slices of the same picture (sliced-threads encoders) stay in the same
+    unit. codec: "h264" | "h265"."""
     pending: List[bytes] = []
     has_vcl = False
     for nal in nals:
-        if nal_type(nal) in VCL_TYPES and has_vcl \
-                and _starts_new_picture(nal):
+        if _is_vcl(nal, codec) and has_vcl \
+                and _starts_new_picture(nal, codec):
             yield pending
             pending = []
             has_vcl = False
         pending.append(nal)
-        if nal_type(nal) in VCL_TYPES:
+        if _is_vcl(nal, codec):
             has_vcl = True
     if pending:
         yield pending
@@ -77,9 +93,10 @@ class PacketSource:
     """
 
     def __init__(self, path: str, chunk_size: int = 1 << 16,
-                 realtime_fps: float = 0.0):
+                 realtime_fps: float = 0.0, codec: str = "h264"):
         self.path = path
         self.chunk_size = chunk_size
+        self.codec = codec                  # "h264" | "h265" (AU grouping)
         self.realtime_fps = realtime_fps    # 0 -> as fast as possible
         self._file = None
         self._buf = b""
@@ -93,10 +110,15 @@ class PacketSource:
         self._file = open(self.path, "rb")
         return self
 
+    @property
+    def codec_name(self) -> str:
+        return "hevc" if self.codec in ("hevc", "h265") else "h264"
+
     def _push_nal(self, nal: bytes) -> None:
         """Incremental AU grouping across arbitrary chunk boundaries."""
-        is_vcl = nal_type(nal) in VCL_TYPES
-        if is_vcl and self._pending_vcl and _starts_new_picture(nal):
+        is_vcl = _is_vcl(nal, self.codec)
+        if is_vcl and self._pending_vcl \
+                and _starts_new_picture(nal, self.codec):
             self._aus.append(self._pending)
             self._pending = []
             self._pending_vcl = False
@@ -180,11 +202,12 @@ class ContainerPacketSource:
                 break
             # One demuxed packet is one coded picture; group via the same
             # slice-header logic for robustness (multi-slice packets stay
-            # one unit; SPS/PPS from the BSF attach forward).
+            # one unit; parameter sets from the BSF attach forward).
+            codec = "h265" if self.codec_name == "hevc" else "h264"
             for nal in split_nal_units(data):
-                is_vcl = nal_type(nal) in VCL_TYPES
+                is_vcl = _is_vcl(nal, codec)
                 if is_vcl and self._pending_vcl \
-                        and _starts_new_picture(nal):
+                        and _starts_new_picture(nal, codec):
                     self._pending.append(self._pending_open)
                     self._pending_open = []
                     self._pending_vcl = False
@@ -725,7 +748,9 @@ def open_packet_source(source: str, realtime_fps: float = 0.0):
         return RtspPacketSource(source)
     if source.endswith((".mp4", ".m4v", ".mkv", ".mov")):
         return ContainerPacketSource(source, realtime_fps=realtime_fps)
-    return PacketSource(source, realtime_fps=realtime_fps)
+    codec = "h265" if source.endswith((".h265", ".265", ".hevc")) \
+        else "h264"
+    return PacketSource(source, realtime_fps=realtime_fps, codec=codec)
 
 
 class RtspPacketSinkAdapter:

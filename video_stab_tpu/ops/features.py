@@ -82,7 +82,37 @@ def good_features_to_track(
     cand = jnp.where(is_peak & (resp > thresh), resp, -1.0)
 
     n_cand = min(n_candidates, h * w)
-    top_vals, top_idx = jax.lax.top_k(cand.reshape(-1), n_cand)
+    # Candidate extraction. A flat top_k over the whole plane measured
+    # 0.65 ms of the 0.87 ms GFTT at 960x540 on a v5e — the single
+    # dominant cost. Two-stage EXACT replacement: per-row top-ROW_BUDGET
+    # (cheap batched top_k over the 128-lane axis), then a global top_k
+    # over the h*ROW_BUDGET survivors. Exact whenever no row holds more
+    # than ROW_BUDGET candidates >= the reduced 2048th value — checked
+    # in-graph; the rare violation falls back to the flat top_k via
+    # lax.cond (one branch executes). Tie-breaking matches lax.top_k's
+    # stable lowest-flat-index preference in both stages.
+    ROW_BUDGET = 32
+    flat = cand.reshape(-1)
+    if h * ROW_BUDGET < n_cand or w <= ROW_BUDGET:
+        top_vals, top_idx = jax.lax.top_k(flat, n_cand)
+    else:
+        rv, ri = jax.lax.top_k(cand, ROW_BUDGET)          # (h, B)
+        flat_v = rv.reshape(-1)
+        flat_i = (jnp.arange(h, dtype=jnp.int32)[:, None] * w
+                  + ri).reshape(-1)
+        tv, ti = jax.lax.top_k(flat_v, n_cand)
+        tau = tv[n_cand - 1]
+        # Guard: with <= B per-row candidates >= tau, stage 1 kept every
+        # global top-n_cand member (see the exactness argument above).
+        # (cand > -1 term: when fewer than n_cand real candidates exist,
+        # tau is the -1 fill and the guard must count REAL candidates.)
+        guard = jnp.any(
+            jnp.sum((cand >= tau) & (cand > -1.0), axis=1) > ROW_BUDGET)
+        top_vals, top_idx = jax.lax.cond(
+            guard,
+            lambda _: tuple(jax.lax.top_k(flat, n_cand)),
+            lambda _: (tv, flat_i[ti]),
+            None)
     cand_x = (top_idx % w).astype(jnp.float32)
     cand_y = (top_idx // w).astype(jnp.float32)
 
