@@ -335,3 +335,47 @@ class TestGfttTwoStageTopK:
                                     quality_level=0.01, min_distance=3.0)
         assert (ma == mb).all()
         assert np.array_equal(pa[ma], pb[mb])
+
+
+class TestGlobalTranslationPrior:
+    """ops/lk.global_translation_prior: exact integer content motion on
+    textured frames; zero (confidence-gated) on flat/ambiguous content."""
+
+    def test_recovers_known_shift(self):
+        from video_stab_tpu.ops.lk import global_translation_prior
+        world = make_textured(300, 400, seed=5, sigma=2)
+        for (wx, wy) in [(5, 3), (-8, 2), (0, 0), (12, -9)]:
+            a = world[50:185, 60:300]
+            b = world[50 + wy:185 + wy, 60 + wx:300 + wx]
+            g = np.asarray(global_translation_prior(a, b))
+            # window moved +w => content moved -w
+            assert (g == np.float32([-wx, -wy])).all(), ((wx, wy), g)
+
+    def test_confidence_gate_on_flat_content(self):
+        from video_stab_tpu.ops.lk import global_translation_prior
+        flat = np.full((135, 240), 100.0, np.float32)
+        g = np.asarray(global_translation_prior(flat, flat))
+        assert (g == 0.0).all()
+
+    def test_lk_with_prior_tracks_large_pan(self):
+        """A pan beyond the no-prior convergence range: the prior recovers
+        it (the motion_prediction robustness story)."""
+        import video_stab_tpu.ops as ops
+        from video_stab_tpu.ops.lk import global_translation_prior
+
+        world = make_textured(400, 520, seed=18, sigma=1.5)
+        prev = world[100:235, 100:340]
+        shift = 20
+        curr = world[100:235, 100 + shift:340 + shift]   # content -20 in x
+        pts = np.float32([[60, 40], [120, 70], [180, 100], [90, 110]])
+        mask = np.ones(4, bool)
+        g = np.asarray(global_translation_prior(prev, curr))
+        assert g[0] == -shift and g[1] == 0.0, g
+        init = pts + g[None, :]
+        out, status, _ = ops.lk_track(prev, curr, pts, mask,
+                                      win=15, max_level=2, iters=20,
+                                      init_pts=init)
+        out = np.asarray(out)
+        assert np.asarray(status).all()
+        assert np.allclose(out[:, 0] - pts[:, 0], -shift, atol=0.3)
+        assert np.allclose(out[:, 1] - pts[:, 1], 0.0, atol=0.3)
