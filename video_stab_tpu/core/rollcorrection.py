@@ -51,11 +51,16 @@ def estimate_roll_angle(params: RollCorrectionParams, state: RollState,
     gray = resize_bilinear(bgr_to_gray(frame_f32), sh, sw)
     edges = canny_edges(gray, params.canny_threshold_low,
                         params.canny_threshold_high)
+    # Only near-horizontal lines survive the angle filter below, so the
+    # accumulator sweeps just that theta window (+margin) — exact and ~8x
+    # cheaper than the full 180-bin sweep (see ops/hough.py theta_range).
     lines, _votes, mask = hough_lines(
         edges, rho=params.hough_rho,
         theta=math.radians(params.hough_theta_deg),
         threshold=params.hough_threshold,
-        max_lines=params.max_lines)
+        max_lines=params.max_lines,
+        theta_range=(math.radians(90.0 + params.angle_filter_min),
+                     math.radians(90.0 + params.angle_filter_max)))
 
     # theta -> degrees around horizontal (RollCorrection.cpp:113-119).
     angles = lines[:, 1] * (180.0 / math.pi) - 90.0

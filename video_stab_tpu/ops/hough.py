@@ -16,15 +16,26 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("rho", "theta", "max_lines"))
+@functools.partial(jax.jit, static_argnames=("rho", "theta", "max_lines",
+                                             "theta_range"))
 def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
                 theta: float = float(jnp.pi) / 180.0, threshold: int = 100,
                 max_lines: int = 256,
+                theta_range: tuple | None = None,
                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Detect lines in a binary edge map.
 
     Args:
       edges: (H, W) edge map; any value > 0 counts as an edge pixel.
+      theta_range: optional (lo, hi) radians — restrict the accumulator to
+        thetas in [lo, hi]. EXACT for consumers that post-filter to an
+        angle window anyway (roll correction keeps only near-horizontal
+        lines, RollCorrection.cpp:113-119): votes per (rho, theta) cell
+        and the theta-direction peak test are local, so cells outside the
+        window (plus a one-bin margin, included automatically) influence
+        nothing that survives the filter. The full 180-bin sweep is a
+        per-pixel scatter-add over every theta — measured 200+ ms/frame in
+        the fused chain; the 23-bin window is ~8x cheaper.
 
     Returns:
       lines: (max_lines, 2) float32 rows of (rho, theta), vote-descending.
@@ -32,24 +43,50 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
       mask:  (max_lines,) bool — True where votes > threshold.
     """
     h, w = edges.shape
-    n_theta = int(round(jnp.pi / theta))
+    n_theta_full = int(round(jnp.pi / theta))
+    if theta_range is not None:
+        import math as _math
+        t0 = max(0, int(_math.floor(float(theta_range[0]) / theta)) - 1)
+        t1 = min(n_theta_full - 1,
+                 int(_math.ceil(float(theta_range[1]) / theta)) + 1)
+    else:
+        t0, t1 = 0, n_theta_full - 1
+    n_theta = t1 - t0 + 1
     n_rho = int(round(((w + h) * 2 + 1) / rho))
     center = (n_rho - 1) // 2
 
-    thetas = jnp.arange(n_theta, dtype=jnp.float32) * theta
+    thetas = (jnp.arange(n_theta, dtype=jnp.float32) + t0) * theta
     cos_t = jnp.cos(thetas) / rho
     sin_t = jnp.sin(thetas) / rho
 
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    weight = (edges > 0).astype(jnp.float32).reshape(-1)
+    weight = (edges > 0).astype(jnp.bfloat16).reshape(-1)
 
-    def one_theta(ct, st):
+    # Histogram as a TWO-LEVEL one-hot matmul instead of a scatter-add:
+    # TPU scatters serialize (~tens of ns per element; the full-sweep
+    # scatter measured 200+ ms/frame in the fused chain). Split the rho
+    # index r = 128*hi + lo; then acc[hi, lo] = sum_p w_p * onehot_hi(p)
+    # * onehot_lo(p) is one (n_hi, P) x (P, 128) matmul per theta — MXU
+    # work with small one-hots. Counts are exact: one-hots and 0/1
+    # weights are exact in bf16; f32 accumulation is integer-exact far
+    # beyond any pixel count here.
+    n_hi = -(-n_rho // 128)
+
+    def one_theta(ct_st):
+        ct, st = ct_st
         ridx = jnp.round(xs * ct + ys * st).astype(jnp.int32) + center
-        acc = jnp.zeros((n_rho,), jnp.float32).at[ridx.reshape(-1)].add(weight)
-        return acc
+        r = jnp.clip(ridx.reshape(-1), 0, n_hi * 128 - 1)
+        hi = r // 128
+        lo = r % 128
+        whi = (hi[:, None] == jnp.arange(n_hi)[None, :]
+               ).astype(jnp.bfloat16) * weight[:, None]
+        wlo = (lo[:, None] == jnp.arange(128)[None, :]).astype(jnp.bfloat16)
+        a = jnp.einsum("ph,pl->hl", whi, wlo,
+                       preferred_element_type=jnp.float32)
+        return a.reshape(-1)[:n_rho]
 
-    acc = jax.vmap(one_theta)(cos_t, sin_t)  # (n_theta, n_rho)
+    acc = jax.lax.map(one_theta, (cos_t, sin_t))  # (n_theta, n_rho)
     acc = acc.T  # (n_rho, n_theta)
 
     # 4-neighbour local maxima (matching OpenCV's > left/up, >= right/down).
@@ -65,7 +102,7 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
     r_idx = idx // n_theta
     t_idx = idx % n_theta
     line_rho = (r_idx - center).astype(jnp.float32) * rho
-    line_theta = t_idx.astype(jnp.float32) * theta
+    line_theta = (t_idx + t0).astype(jnp.float32) * theta
     lines = jnp.stack([line_rho, line_theta], axis=-1)
     mask = votes > threshold
     if k < max_lines:
