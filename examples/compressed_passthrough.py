@@ -26,7 +26,8 @@ import argparse
 
 from video_stab_tpu.core.params import StabilizerParams
 from video_stab_tpu.core.stabilizer import Stabilizer
-from video_stab_tpu.io.packets import (PacketDecoderBridge, PacketFileSink,
+from video_stab_tpu.io.packets import (PacketDecoderBridge,
+                                       open_packet_sink,
                                        open_packet_source)
 
 
@@ -41,7 +42,9 @@ def main():
     # Dispatches by source type: Annex-B .h264, container mp4/mkv (native
     # demux, no decode), or a live rtsp:// camera (packet-level client).
     src = open_packet_source(args.input)
-    sink = PacketFileSink(args.output)
+    # Output dispatch too: .h264 byte stream, mp4/mkv (remux, no
+    # re-encode), or rtsp:// serving.
+    sink = open_packet_sink(args.output)
     bridge = PacketDecoderBridge()
     st = None
     n = relayed = processed = 0
