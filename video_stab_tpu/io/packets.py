@@ -449,12 +449,29 @@ class RtspPacketSource:
             emit_au()
             self._queue.put(None)       # EOF sentinel
 
+    def _keepalive_loop(self) -> None:
+        """Periodic GET_PARAMETER (RFC 2326 keepalive): real servers tear
+        down sessions after ~60 s of control-channel silence. Replies
+        arrive on the interleaved channel and are consumed by _rtp_loop."""
+        while not self._stop_evt.wait(15.0):
+            try:
+                self._cseq += 1
+                msg = (f"GET_PARAMETER {self.url} RTSP/1.0\r\n"
+                       f"CSeq: {self._cseq}\r\n"
+                       f"Session: {self._session}\r\n\r\n")
+                with self._wlock:
+                    self._sock.sendall(msg.encode())
+            except OSError:
+                return
+
     # -- PacketSource surface ----------------------------------------------
     def start(self) -> "RtspPacketSource":
         self._connect()
         self._thread = threading.Thread(target=self._rtp_loop, daemon=True,
                                         name="rtsp-packet-source")
         self._thread.start()
+        threading.Thread(target=self._keepalive_loop, daemon=True,
+                         name="rtsp-keepalive").start()
         return self
 
     def read(self, timeout: float = 5.0) -> Optional[List[bytes]]:
