@@ -85,9 +85,10 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
 
     params = StabilizerParams(
         smoothing_radius=smoothing_radius,
-        # vmapped cond runs both warp branches; one static kernel is
-        # cheaper for the batched config (see pallas/warp.py `branch`).
-        warp_branch="large" if n_streams > 1 else "auto")
+        # vmapped conds run both branches; pick single-branch variants
+        # for the batched config (see pallas/warp.py / ops/features.py).
+        warp_branch="large" if n_streams > 1 else "auto",
+        gftt_topk="flat" if n_streams > 1 else "auto")
     assert k >= params.effective_radius + 1
     # The pool is a jit ARGUMENT (device-resident across calls), not a
     # closed-over constant: baked-in multi-MB constants blow past the

@@ -66,6 +66,11 @@ class StabilizerParams:
     # kernel — the right choice for VMAPPED multi-stream serving, where
     # vmap lowers a batched-predicate cond to both-branches + select.
     warp_branch: str = "auto"
+    # GFTT candidate extraction: "auto" = exact two-stage top_k with an
+    # in-graph guard (lax.cond) falling back to the flat top_k; "flat"
+    # forces the flat path — again the right choice under vmap (the
+    # batched-predicate guard would run both).
+    gftt_topk: str = "auto"
 
     smoothing_method: str = "box"    # box | gaussian | kalman
     gaussian_sigma: float = 2.0

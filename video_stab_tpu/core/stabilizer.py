@@ -106,12 +106,14 @@ def _detect_features(params: StabilizerParams, gray: jnp.ndarray,
     if redetect:
         return good_features_to_track(
             gray, max_corners=params.max_corners,
-            quality_level=0.02, min_distance=15.0, block_size=3)
+            quality_level=0.02, min_distance=15.0, block_size=3,
+            topk=params.gftt_topk)
     return good_features_to_track(
         gray, max_corners=params.max_corners,
         quality_level=params.quality_level,
         min_distance=params.min_distance,
-        block_size=params.block_size, roi=roi)
+        block_size=params.block_size, roi=roi,
+        topk=params.gftt_topk)
 
 
 def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,

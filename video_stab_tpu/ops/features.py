@@ -47,7 +47,7 @@ def _dilate3x3(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("max_corners", "block_size",
-                                             "n_candidates"))
+                                             "n_candidates", "topk"))
 def good_features_to_track(
     gray: jnp.ndarray,
     max_corners: int = 200,
@@ -56,6 +56,7 @@ def good_features_to_track(
     block_size: int = 3,
     roi: jnp.ndarray | None = None,
     n_candidates: int = 2048,
+    topk: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """goodFeaturesToTrack with static shapes.
 
@@ -91,9 +92,12 @@ def good_features_to_track(
     # in-graph; the rare violation falls back to the flat top_k via
     # lax.cond (one branch executes). Tie-breaking matches lax.top_k's
     # stable lowest-flat-index preference in both stages.
+    # topk="flat" forces the single flat top_k — for VMAPPED callers,
+    # where the guard's lax.cond (batched predicate) lowers to running
+    # BOTH branches + select, costing more than either alone.
     ROW_BUDGET = 32
     flat = cand.reshape(-1)
-    if h * ROW_BUDGET < n_cand or w <= ROW_BUDGET:
+    if topk == "flat" or h * ROW_BUDGET < n_cand or w <= ROW_BUDGET:
         top_vals, top_idx = jax.lax.top_k(flat, n_cand)
     else:
         rv, ri = jax.lax.top_k(cand, ROW_BUDGET)          # (h, B)

@@ -82,12 +82,17 @@ class MultiStreamStabilizer:
 
     def __init__(self, params: StabilizerParams, n_streams: int,
                  mesh: Optional[Mesh] = None):
-        if params.warp_branch == "auto":
-            # vmap lowers the warp's small/large lax.cond (batched
-            # predicate) to both-branches + select; one static
-            # full-envelope kernel is strictly cheaper here.
+        if params.warp_branch == "auto" or params.gftt_topk == "auto":
+            # vmap lowers batched-predicate lax.conds (warp small/large,
+            # GFTT guard) to both-branches + select; pick the single-branch
+            # variants here.
             import dataclasses
-            params = dataclasses.replace(params, warp_branch="large")
+            params = dataclasses.replace(
+                params,
+                warp_branch="large" if params.warp_branch == "auto"
+                else params.warp_branch,
+                gftt_topk="flat" if params.gftt_topk == "auto"
+                else params.gftt_topk)
         self.params = params
         self.n_streams = n_streams
         self.mesh = mesh
