@@ -379,3 +379,33 @@ class TestGlobalTranslationPrior:
         assert np.asarray(status).all()
         assert np.allclose(out[:, 0] - pts[:, 0], -shift, atol=0.3)
         assert np.allclose(out[:, 1] - pts[:, 1], 0.0, atol=0.3)
+
+
+class TestHoughThetaWindow:
+    """theta_range exactness: windowed sweep == full sweep restricted to
+    the window (votes, peaks, and line parameters)."""
+
+    def test_windowed_equals_full_in_window(self):
+        import math
+
+        from video_stab_tpu.ops.hough import hough_lines
+        rng = np.random.default_rng(3)
+        edges = (rng.random((120, 160)) > 0.92).astype(np.float32)
+        # add two near-horizontal lines so real peaks exist in the window
+        edges[40, :] = 1.0
+        for x in range(160):
+            y = int(70 + 0.06 * x)
+            edges[y, x] = 1.0
+        lo, hi = math.radians(80.0), math.radians(100.0)
+        lw, vw, mw = hough_lines(edges, threshold=40, max_lines=64,
+                                 theta_range=(lo, hi))
+        lf, vf, mf = hough_lines(edges, threshold=40, max_lines=256)
+        lw, vw, mw = map(np.asarray, (lw, vw, mw))
+        lf, vf, mf = map(np.asarray, (lf, vf, mf))
+        keep = mf & (lf[:, 1] >= lo) & (lf[:, 1] <= hi)
+        full = {(round(r, 3), round(t, 5), v)
+                for (r, t), v in zip(lf[keep], vf[keep])}
+        win_keep = mw & (lw[:, 1] >= lo) & (lw[:, 1] <= hi)
+        win = {(round(r, 3), round(t, 5), v)
+               for (r, t), v in zip(lw[win_keep], vw[win_keep])}
+        assert win == full, (win ^ full)
