@@ -150,3 +150,48 @@ class TestWarpKernelBranches:
                                         interpret=True))
         # interior ties: (0+1)/2 = 0.5 -> round-half-even -> 0
         assert (out[:, 2:-2] == 0).all(), np.unique(out[:, 2:-2])
+
+
+class TestWarpHomographyKernel:
+    """pallas/warp.warp_homography_u8 — projective strip kernel parity vs
+    the XLA gather warp (near-identity stabilizing homographies)."""
+
+    def _check(self, hm, shape=(40, 140, 3), seed=6):
+        from video_stab_tpu.ops.warp import warp_perspective
+        from video_stab_tpu.pallas.warp import warp_homography_u8
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.integers(0, 255, shape, dtype=np.uint8))
+        ref = np.asarray(warp_perspective(img.astype(jnp.float32),
+                                          jnp.asarray(hm)))
+        ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.int64)
+        out = np.asarray(warp_homography_u8(
+            img, jnp.asarray(hm), interpret=True)).astype(np.int64)
+        d = np.abs(out - ref_u8)
+        # The rational map evaluates through an f32 divide; a ~1e-5 ulp
+        # difference in (sx, sy) vs the gather path moves the bilinear
+        # value by up to ~255 * 1e-5 — wider near-tie band than affine.
+        near_tie = np.abs(ref - np.floor(ref) - 0.5) < 5e-3
+        assert d[~near_tie].max() == 0, d[~near_tie].max()
+        assert d.max() <= 1
+        assert (d > 0).mean() < 0.01, (d > 0).mean()
+
+    def test_small_branch_projective(self):
+        ang = np.radians(0.4)
+        hm = np.float32([[np.cos(ang), -np.sin(ang), 2.1],
+                         [np.sin(ang), np.cos(ang), -1.3],
+                         [3e-5, -2e-5, 1.0]])
+        self._check(hm)
+
+    def test_large_branch_projective(self):
+        ang = np.radians(4.0)
+        hm = np.float32([[np.cos(ang), -np.sin(ang), 3.0],
+                         [np.sin(ang), np.cos(ang), 2.0],
+                         [6e-5, 4e-5, 1.0]])
+        self._check(hm, seed=9)
+
+    def test_identity_exact(self):
+        from video_stab_tpu.pallas.warp import warp_homography_u8
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.integers(0, 255, (24, 132, 3), dtype=np.uint8))
+        out = warp_homography_u8(img, jnp.eye(3), interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))

@@ -36,13 +36,18 @@ def _dlt_4pt(p: jnp.ndarray, q: jnp.ndarray):
         rows.append(jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
                                x, y, 1.0, -v * x, -v * y]))
     a = jnp.stack(rows)                        # (8, 8)
-    b = q.reshape(-1)                          # (u1, v1, u2, v2, ...)
     b = jnp.stack([q[0, 0], q[0, 1], q[1, 0], q[1, 1],
                    q[2, 0], q[2, 1], q[3, 0], q[3, 1]])
-    # Regularize singular systems (degenerate samples) instead of nan.
-    det_ok = jnp.abs(jnp.linalg.det(a)) > 1e-8
-    a_safe = jnp.where(det_ok, a, jnp.eye(8))
-    h8 = jnp.linalg.solve(a_safe, b)
+    # ONE LU factorization serves both the degeneracy check (|det| =
+    # |prod diag(U)|, the pivoted LU's determinant magnitude) and the
+    # solve — the original det + solve pair ran two LU sweeps per
+    # hypothesis x 500 (this sits on the streaming homography hot path).
+    import jax.scipy.linalg as jsl
+    lu, piv = jsl.lu_factor(a)
+    absdet = jnp.abs(jnp.prod(jnp.diagonal(lu)))
+    det_ok = (absdet > 1e-8) & jnp.all(jnp.isfinite(lu))
+    h8 = jsl.lu_solve((jnp.where(jnp.isfinite(lu), lu, 0.0), piv), b)
+    h8 = jnp.where(det_ok, h8, jnp.zeros(8))
     h = jnp.concatenate([h8, jnp.ones((1,))]).reshape(3, 3)
     return h, det_ok
 
@@ -119,8 +124,14 @@ def estimate_homography_ransac(prev: jnp.ndarray, curr: jnp.ndarray,
     r1 = jnp.stack([x, y, o, z, z, z, -uu * x, -uu * y, -uu], axis=1)
     r2 = jnp.stack([z, z, z, x, y, o, -vv * x, -vv * y, -vv], axis=1)
     a = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2N,9)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
-    hn = vt[-1].reshape(3, 3)
+    # Smallest right singular vector via eigh of the 9x9 normal matrix —
+    # a (9,2N)@(2N,9) matmul + a tiny symmetric eigendecomposition,
+    # instead of a full (2N,9) SVD (TPU SVD on the streaming hot path
+    # measured tens of ms). Hartley normalization keeps A well enough
+    # conditioned that the squared condition number is harmless here.
+    ata = a.T @ a
+    _, vecs = jnp.linalg.eigh(ata)
+    hn = vecs[:, 0].reshape(3, 3)             # smallest eigenvalue first
     h = jnp.linalg.inv(t_q) @ hn @ t_p
     h = h / jnp.where(jnp.abs(h[2, 2]) > 1e-9, h[2, 2], 1e-9)
 

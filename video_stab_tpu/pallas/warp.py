@@ -57,6 +57,10 @@ def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
     integer taps 0 .. floor(max q-d) + 1 <= floor(range + 1) + 1
     <= ceil(range) + 2 terms."""
     s = abs(math.sin(math.radians(float(max_angle_deg))))
+    return _terms_from_slope(s)
+
+
+def _terms_from_slope(s: float) -> tuple[int, int]:
     ry = int(np.ceil(s * (TW - 1) + (s ** 2) * TH)) + 2
     rx = int(np.ceil(s * (TH - 1) + (s ** 2) * TW)) + 2
     return ry, rx
@@ -64,12 +68,15 @@ def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
 
 def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
                  pad_y: int, halo_x: int, strip_in_w: int,
-                 ry_terms: int, rx_terms: int, sh_a: int, sw_a: int):
+                 ry_terms: int, rx_terms: int, sh_a: int, sw_a: int,
+                 projective: bool = False):
     """One grid step = one (channel, column strip).
 
     img_ref: (1, Hp, strip_in_w) u8 — the strip plus halo_x on each side,
     already offset so in-strip x index = out_x - strip_x0 + halo_x.
-    out_ref: (1, out_h, STRIP_W) u8. m_ref: (1, 6) f32 inverse map in SMEM.
+    out_ref: (1, out_h, STRIP_W) u8. m_ref: (1, 8) f32 inverse map in SMEM
+    (a b c d e f g h; g = h = 0 and projective=False for affine maps —
+    the divide then compiles away).
     """
     a_ = m_ref[0, 0]
     b_ = m_ref[0, 1]
@@ -77,6 +84,8 @@ def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
     d_ = m_ref[0, 3]
     e_ = m_ref[0, 4]
     f_ = m_ref[0, 5]
+    g_ = m_ref[0, 6]
+    h_ = m_ref[0, 7]
 
     strip = pl.program_id(1)
     strip_x0 = (strip * STRIP_W).astype(jnp.float32)
@@ -94,6 +103,11 @@ def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
         x0 = strip_x0 + (tx * TW).astype(jnp.float32)
         sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
         sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
+        if projective:
+            wdn = g_ * (x0 + dx) + h_ * (y0 + dy) + 1.0
+            inv = 1.0 / wdn
+            sx = sx * inv
+            sy = sy * inv
         # Base = floor of the min residual (source minus local output
         # coordinate); invariant: qy - dy in [0, ry_terms) for in-envelope
         # maps (ops/warp.py:226-233).
@@ -142,42 +156,24 @@ def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
     jax.lax.fori_loop(0, nty * ntx, tile_body, (), unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "out_h", "out_w", "border_mode", "border_value", "inverse_map",
-    "max_angle_deg", "max_shift", "branch", "interpret"))
-def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
-                   out_h: int | None = None, out_w: int | None = None,
-                   border_mode: int = BORDER_CONSTANT,
-                   border_value: float = 0.0,
-                   inverse_map: bool = False,
-                   max_angle_deg: float = 6.0,
-                   max_shift: int = 128,
-                   branch: str = "auto",
-                   interpret: bool = False) -> jnp.ndarray:
-    """Pallas full-frame affine warp, u8 HWC in -> u8 HWC out.
+def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
+                  s_env: float, max_shift: int,
+                  terms_l, terms_s, small_pred, projective: bool,
+                  interpret: bool):
+    """Shared strip-kernel driver for affine and projective u8 warps.
 
-    Drop-in for ``warp_affine_tiled(img_f32, m).astype(u8)`` within the
-    envelope; cv2 semantics (dst(x,y) = src(M^-1 (x,y)), bilinear,
-    saturate_cast rounding).
+    mvec8: (1, 8) f32 inverse map. s_env: static slope bound (the
+    envelope) used for geometry + the large tap table; terms_s/small_pred:
+    the optional small-branch tap table and its traced sufficiency
+    predicate (None -> single branch).
     """
-    out_h = out_h if out_h is not None else img.shape[0]
-    out_w = out_w if out_w is not None else img.shape[1]
-    minv = m if inverse_map else invert_affine(m)
-    mvec = jnp.reshape(minv.astype(jnp.float32), (1, 6))
-
     has_c = img.ndim == 3
     if not has_c:
         img = img[:, :, None]
     img = img.astype(jnp.uint8)
     h, w, ch = img.shape
 
-    s_env = abs(math.sin(math.radians(float(max_angle_deg))))
-    ry_l, rx_l = _envelope_terms(max_angle_deg)
-    # Small-rotation fast branch: most stabilizing corrections sit far
-    # inside the envelope (<= 1/4 of it), where the tap table shrinks ~3x
-    # (e.g. 9x4 -> 4x3 at the default 3 deg). Selected at runtime by an
-    # EXACT per-map bound, so every map still gets exact bilinear.
-    ry_s, rx_s = _envelope_terms(max_angle_deg * 0.25)
+    ry_l, rx_l = terms_l
     sh_a = -(-(TH + ry_l - 1 + 7) // 8) * 8
     sw_a = -(-(TW + rx_l - 1 + 127) // 128) * 128
 
@@ -216,12 +212,12 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         kern = functools.partial(
             _warp_kernel, out_h=oh_a, pad_y=pad_y, halo_x=halo_x,
             strip_in_w=strip_in_w, ry_terms=ry_terms, rx_terms=rx_terms,
-            sh_a=sh_a, sw_a=sw_a)
+            sh_a=sh_a, sw_a=sw_a, projective=projective)
         return pl.pallas_call(
             kern,
             grid=(ch, n_strips),
             in_specs=[
-                pl.BlockSpec((1, 6), lambda c, s: (0, 0),
+                pl.BlockSpec((1, 8), lambda c, s: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (pl.Element(1), pl.Element(imgp.shape[1]),
@@ -234,26 +230,136 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
             interpret=interpret,
-        )(mvec, imgp)
+        )(mvec8, imgp)
 
-    # branch="large": single full-envelope kernel, no lax.cond — for
-    # VMAPPED callers (batched multi-stream serving), where vmap lowers
-    # cond-with-batched-predicate to run-both-branches + select, doubling
-    # the warp cost. "auto" is right for unbatched streaming.
-    if branch == "large" or (ry_s, rx_s) == (ry_l, rx_l):
+    if terms_s is None or terms_s == terms_l:
         out = run(imgp, ry_l, rx_l)
     else:
-        # Exact per-map coordinate ranges over a (TH, TW) tile — the same
-        # quantities _envelope_terms bounds analytically. The small branch
-        # is sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
-        mf = jnp.reshape(mvec, (6,))
-        ry_act = jnp.abs(mf[3]) * (TW - 1) + jnp.abs(mf[4] - 1.0) * TH
-        rx_act = jnp.abs(mf[1]) * (TH - 1) + jnp.abs(mf[0] - 1.0) * TW
-        small_ok = (ry_act <= float(ry_s - 2)) & (rx_act <= float(rx_s - 2))
         out = jax.lax.cond(
-            small_ok,
-            lambda im: run(im, ry_s, rx_s),
+            small_pred,
+            lambda im: run(im, terms_s[0], terms_s[1]),
             lambda im: run(im, ry_l, rx_l),
             imgp)
     out = jnp.transpose(out, (1, 2, 0))[:out_h, :out_w]
     return out if has_c else out[:, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_h", "out_w", "border_mode", "border_value", "inverse_map",
+    "max_angle_deg", "max_shift", "branch", "interpret"))
+def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
+                   out_h: int | None = None, out_w: int | None = None,
+                   border_mode: int = BORDER_CONSTANT,
+                   border_value: float = 0.0,
+                   inverse_map: bool = False,
+                   max_angle_deg: float = 6.0,
+                   max_shift: int = 128,
+                   branch: str = "auto",
+                   interpret: bool = False) -> jnp.ndarray:
+    """Pallas full-frame affine warp, u8 HWC in -> u8 HWC out.
+
+    Drop-in for ``warp_affine_tiled(img_f32, m).astype(u8)`` within the
+    envelope; cv2 semantics (dst(x,y) = src(M^-1 (x,y)), bilinear,
+    saturate_cast rounding). branch="large" compiles a single
+    full-envelope kernel (for vmapped callers, where a batched-predicate
+    lax.cond runs both branches).
+    """
+    out_h = out_h if out_h is not None else img.shape[0]
+    out_w = out_w if out_w is not None else img.shape[1]
+    minv = m if inverse_map else invert_affine(m)
+    mf6 = jnp.reshape(minv.astype(jnp.float32), (6,))
+    mvec8 = jnp.concatenate([mf6, jnp.zeros(2, jnp.float32)]).reshape(1, 8)
+
+    s_env = abs(math.sin(math.radians(float(max_angle_deg))))
+    terms_l = _envelope_terms(max_angle_deg)
+    # Small-rotation fast branch: most stabilizing corrections sit far
+    # inside the envelope (<= 1/4 of it), where the tap table shrinks ~3x
+    # (e.g. 9x4 -> 4x3 at the default 3 deg). Selected at runtime by an
+    # EXACT per-map bound, so every map still gets exact bilinear.
+    terms_s = _envelope_terms(max_angle_deg * 0.25)
+    if branch == "large":
+        terms_s = None
+        small_pred = None
+    else:
+        # Exact per-map coordinate ranges over a (TH, TW) tile — the same
+        # quantities _envelope_terms bounds analytically. The small branch
+        # is sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
+        ry_act = jnp.abs(mf6[3]) * (TW - 1) + jnp.abs(mf6[4] - 1.0) * TH
+        rx_act = jnp.abs(mf6[1]) * (TH - 1) + jnp.abs(mf6[0] - 1.0) * TW
+        small_pred = (ry_act <= float(terms_s[0] - 2)) \
+            & (rx_act <= float(terms_s[1] - 2))
+    return _warp_u8_impl(img, mvec8, out_h, out_w, border_mode,
+                         border_value, s_env, max_shift, terms_l, terms_s,
+                         small_pred, projective=False, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_h", "out_w", "border_mode", "border_value", "inverse_map",
+    "max_angle_deg", "max_shift", "proj_budget", "branch", "interpret"))
+def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
+                       out_h: int | None = None, out_w: int | None = None,
+                       border_mode: int = BORDER_CONSTANT,
+                       border_value: float = 0.0,
+                       inverse_map: bool = False,
+                       max_angle_deg: float = 6.0,
+                       max_shift: int = 128,
+                       proj_budget: float = 1e-4,
+                       branch: str = "auto",
+                       interpret: bool = False) -> jnp.ndarray:
+    """Pallas full-frame PROJECTIVE warp, u8 HWC in -> u8 HWC out.
+
+    The same strip/tile machinery as the affine kernel with a per-pixel
+    perspective divide — replacing the XLA gather warp_perspective on the
+    homography emit path (~19 ms at 1080p x3 -> strip-kernel speed).
+
+    Envelope: |rotation/shear slopes| <= sin(max_angle_deg) plus a
+    projective allowance |g|,|h| <= proj_budget (stabilizing corrections
+    are exp of smoothed log-residuals — near identity, so the default
+    1e-4 is generous: it allows the perspective to bend coordinates by
+    ~proj_budget * dim^2 / 2 px across the frame). Out-of-envelope maps
+    degrade (clamp), exactly like the affine contract. The small/large
+    branch is picked by runtime DERIVATIVE bounds of the rational map.
+    """
+    out_h = out_h if out_h is not None else img.shape[0]
+    out_w = out_w if out_w is not None else img.shape[1]
+    hm = h_mat.astype(jnp.float32).reshape(3, 3)
+    hinv = hm if inverse_map else jnp.linalg.inv(hm)
+    hinv = hinv / hinv[2, 2]
+    mvec8 = jnp.stack([hinv[0, 0], hinv[0, 1], hinv[0, 2],
+                       hinv[1, 0], hinv[1, 1], hinv[1, 2],
+                       hinv[2, 0], hinv[2, 1]]).reshape(1, 8)
+
+    # Effective slope bound: rotation envelope + what the projective
+    # budget can add to any first derivative over the output domain.
+    dim = max(out_h, out_w) + max_shift
+    s_env = abs(math.sin(math.radians(float(max_angle_deg)))) \
+        + 2.0 * float(proj_budget) * dim
+    terms_l = _terms_from_slope(s_env)
+    s_small = abs(math.sin(math.radians(float(max_angle_deg * 0.25)))) \
+        + 0.5 * float(proj_budget) * dim
+    terms_s = _terms_from_slope(s_small)
+    if branch == "large" or terms_s == terms_l:
+        terms_s = None
+        small_pred = None
+    else:
+        # Runtime derivative bounds of the rational map over the output
+        # domain: d(sy)/dx = (d - sy*g)/w etc., |sy| <= out_h + max_shift,
+        # |w - 1| <= |g|*out_w + |h|*out_h.
+        mf = jnp.reshape(mvec8, (8,))
+        sx_max = float(out_w + max_shift)
+        sy_max = float(out_h + max_shift)
+        pb = jnp.abs(mf[6]) * out_w + jnp.abs(mf[7]) * out_h
+        denom_lo = jnp.maximum(1.0 - pb, 1e-3)
+        dsy_dx = (jnp.abs(mf[3]) + sy_max * jnp.abs(mf[6])) / denom_lo
+        dsy_dy = (jnp.abs(mf[4] - 1.0) + sy_max * jnp.abs(mf[7]) + pb) \
+            / denom_lo
+        dsx_dy = (jnp.abs(mf[1]) + sx_max * jnp.abs(mf[7])) / denom_lo
+        dsx_dx = (jnp.abs(mf[0] - 1.0) + sx_max * jnp.abs(mf[6]) + pb) \
+            / denom_lo
+        ry_act = dsy_dx * (TW - 1) + dsy_dy * TH
+        rx_act = dsx_dy * (TH - 1) + dsx_dx * TW
+        small_pred = (pb < 0.5) & (ry_act <= float(terms_s[0] - 2)) \
+            & (rx_act <= float(terms_s[1] - 2))
+    return _warp_u8_impl(img, mvec8, out_h, out_w, border_mode,
+                         border_value, s_env, max_shift, terms_l, terms_s,
+                         small_pred, projective=True, interpret=interpret)
