@@ -409,3 +409,44 @@ class TestHoughThetaWindow:
         win = {(round(r, 3), round(t, 5), v)
                for (r, t), v in zip(lw[win_keep], vw[win_keep])}
         assert win == full, (win ^ full)
+
+
+class TestHoughSparseDense:
+    """impl="auto" edge-compaction exactness: identical accumulator output
+    to the dense per-theta sweep, both when the compaction capacity admits
+    every edge pixel and when the in-graph guard falls back to dense."""
+
+    def _edges(self, seed=7):
+        rng = np.random.default_rng(seed)
+        edges = (rng.random((96, 144)) > 0.93).astype(np.float32)
+        edges[30, :] = 1.0
+        for x in range(144):
+            edges[int(60 + 0.05 * x), x] = 1.0
+        return edges
+
+    def test_sparse_equals_dense(self):
+        import math
+
+        from video_stab_tpu.ops.hough import hough_lines
+        edges = self._edges()
+        tr = (math.radians(80.0), math.radians(100.0))
+        kw = dict(threshold=30, max_lines=64, theta_range=tr)
+        ls, vs, ms = hough_lines(edges, impl="auto", max_edges=4096, **kw)
+        ld, vd, md = hough_lines(edges, impl="dense", **kw)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(ld))
+        np.testing.assert_array_equal(np.asarray(vs), np.asarray(vd))
+        np.testing.assert_array_equal(np.asarray(ms), np.asarray(md))
+
+    def test_overflow_falls_back_exact(self):
+        import math
+
+        from video_stab_tpu.ops.hough import hough_lines
+        edges = self._edges(seed=11)
+        assert edges.sum() > 64  # capacity 64 must overflow -> dense branch
+        tr = (math.radians(80.0), math.radians(100.0))
+        kw = dict(threshold=30, max_lines=64, theta_range=tr)
+        lo, vo, mo = hough_lines(edges, impl="auto", max_edges=64, **kw)
+        ld, vd, md = hough_lines(edges, impl="dense", **kw)
+        np.testing.assert_array_equal(np.asarray(lo), np.asarray(ld))
+        np.testing.assert_array_equal(np.asarray(vo), np.asarray(vd))
+        np.testing.assert_array_equal(np.asarray(mo), np.asarray(md))

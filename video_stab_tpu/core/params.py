@@ -228,6 +228,11 @@ class RollCorrectionParams:
     hough_rho: float = 1.0
     hough_theta_deg: float = 1.0
     max_lines: int = 64
+    hough_impl: str = "auto"       # "auto" = exact edge-compaction fast
+    #                                path w/ in-graph dense fallback;
+    #                                "dense" pins the per-theta sweep
+    #                                (for vmapped callers; ops/hough.py)
+    hough_max_edges: int = 16384   # sparse-path capacity
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,7 +60,8 @@ def estimate_roll_angle(params: RollCorrectionParams, state: RollState,
         threshold=params.hough_threshold,
         max_lines=params.max_lines,
         theta_range=(math.radians(90.0 + params.angle_filter_min),
-                     math.radians(90.0 + params.angle_filter_max)))
+                     math.radians(90.0 + params.angle_filter_max)),
+        impl=params.hough_impl, max_edges=params.hough_max_edges)
 
     # theta -> degrees around horizontal (RollCorrection.cpp:113-119).
     angles = lines[:, 1] * (180.0 / math.pi) - 90.0

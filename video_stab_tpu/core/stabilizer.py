@@ -388,7 +388,20 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                              jnp.zeros(n_ch, jnp.float32))
         h_corr = exp_homography(t_smooth.reshape(3, 3))
         t_mat = None
-        exceeded = jnp.bool_(False)   # perspective warp has no static envelope
+        # Envelope observability for the projective kernel's static
+        # envelope (rotation/shear slope, shift, projective budget —
+        # pallas/warp.warp_homography_u8 defaults). Near-identity
+        # corrections make the forward-map components a faithful proxy
+        # for the inverse map's.
+        from video_stab_tpu.pallas.warp import PROJ_BUDGET_DEFAULT
+        s_env = abs(math.sin(math.radians(params.warp_envelope_deg)))
+        exceeded = has_transform & (
+            (jnp.maximum(jnp.abs(h_corr[0, 2]), jnp.abs(h_corr[1, 2]))
+             > WARP_MAX_SHIFT)
+            | (jnp.abs(h_corr[0, 1]) > s_env)
+            | (jnp.abs(h_corr[1, 0]) > s_env)
+            | (jnp.abs(h_corr[2, 0]) > PROJ_BUDGET_DEFAULT)
+            | (jnp.abs(h_corr[2, 1]) > PROJ_BUDGET_DEFAULT))
     else:
         # Motion-intent correction scaling (Stabilizer.cpp:854-888).
         intent = analyze_motion_intent(state.trans_ring, state.n_path, raw, e)
@@ -416,9 +429,14 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
 
     def _warp(image):
         if params.motion_model == "homography":
-            from video_stab_tpu.ops.warp import warp_perspective
-            return warp_perspective(image, h_corr,
-                                    border_mode=BORDER_CONSTANT)
+            # Pallas projective strip kernel on TPU (pallas/warp.py), XLA
+            # gather elsewhere; u8 in/out like the affine path.
+            from video_stab_tpu.ops.warp import warp_perspective_fast
+            return warp_perspective_fast(image, h_corr,
+                                         border_mode=BORDER_CONSTANT,
+                                         max_angle_deg=params.warp_envelope_deg,
+                                         max_shift=WARP_MAX_SHIFT,
+                                         branch=params.warp_branch)
         # Pallas strip warp on TPU (pallas/warp.py), XLA tiled elsewhere:
         # exact bilinear inside the static envelope; stabilizing
         # corrections are small rotations + bounded translations.
@@ -434,8 +452,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
     frame_u8 = state.frame_ring[e % q]
     needs_f32 = (params.border_type == "fade"
                  or (params.enable_virtual_canvas and not params.crop_n_zoom
-                     and params.motion_model != "homography")
-                 or params.motion_model == "homography")
+                     and params.motion_model != "homography"))
     frame = frame_u8.astype(jnp.float32) if needs_f32 \
         else frame_u8
     h, w = frame.shape[0], frame.shape[1]

@@ -194,12 +194,15 @@ def _stabilize_clip_homography(frames: np.ndarray,
     corr_h = smooth_homography_path(
         logs, lambda path: _smooth_path(params, path))
 
-    from video_stab_tpu.ops.warp import warp_perspective
+    from video_stab_tpu.ops.warp import warp_perspective_fast
 
     def warp_chunk(chunk_u8, hs):
         def one(frame_u8, hm):
-            f = frame_u8.astype(jnp.float32)
-            out = warp_perspective(f, hm, border_mode=BORDER_CONSTANT)
+            # branch="large": vmapped caller — a batched-predicate
+            # small/large cond would run both branches (see pallas/warp.py).
+            out = warp_perspective_fast(frame_u8, hm,
+                                        border_mode=BORDER_CONSTANT,
+                                        branch="large")
             return saturate_u8(out)
         return jax.jit(jax.vmap(one))(chunk_u8, hs)
 

@@ -290,6 +290,36 @@ def warp_affine_fast(img: jnp.ndarray, m: jnp.ndarray,
     return jnp.clip(jnp.round(out), 0, 255)
 
 
+def warp_perspective_fast(img: jnp.ndarray, h_mat: jnp.ndarray,
+                          out_h: int | None = None, out_w: int | None = None,
+                          border_mode: int = BORDER_CONSTANT,
+                          border_value: float = 0.0,
+                          max_angle_deg: float = 6.0,
+                          max_shift: int = 128,
+                          branch: str = "auto") -> jnp.ndarray:
+    """u8-domain PROJECTIVE warp dispatcher for the homography emit path.
+
+    On TPU: the Pallas strip kernel with per-pixel perspective divide
+    (pallas/warp.warp_homography_u8) — replaces the ~19 ms gather
+    warp_perspective at 1080p. Elsewhere: the XLA gather formulation.
+    Both quantize input and output to u8 (the reference pipeline is CV_8U
+    end-to-end) and return float32 holding integers, mirroring
+    warp_affine_fast.
+    """
+    from video_stab_tpu.pallas import on_tpu
+    if img.dtype != jnp.uint8:
+        img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    if on_tpu():
+        from video_stab_tpu.pallas.warp import warp_homography_u8
+        out = warp_homography_u8(img, h_mat, out_h, out_w, border_mode,
+                                 border_value, max_angle_deg=max_angle_deg,
+                                 max_shift=max_shift, branch=branch)
+        return out.astype(jnp.float32)
+    out = warp_perspective(img.astype(jnp.float32), h_mat, out_h, out_w,
+                           border_mode, border_value)
+    return jnp.clip(jnp.round(out), 0, 255)
+
+
 def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray,
                    border_mode: int = BORDER_REPLICATE,
                    border_value: float = 0.0) -> jnp.ndarray:

@@ -45,6 +45,9 @@ from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
 TH, TW = 64, 128
 STRIP_W = 512           # output columns per grid step
 
+# Projective allowance |g|,|h| of warp_homography_u8's static envelope.
+PROJ_BUDGET_DEFAULT = 5e-6
+
 
 def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
     """Static shift-term counts for the (TH, TW) tile under the rotation
@@ -303,7 +306,7 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
                        inverse_map: bool = False,
                        max_angle_deg: float = 6.0,
                        max_shift: int = 128,
-                       proj_budget: float = 1e-4,
+                       proj_budget: float = PROJ_BUDGET_DEFAULT,
                        branch: str = "auto",
                        interpret: bool = False) -> jnp.ndarray:
     """Pallas full-frame PROJECTIVE warp, u8 HWC in -> u8 HWC out.
@@ -313,12 +316,16 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
     homography emit path (~19 ms at 1080p x3 -> strip-kernel speed).
 
     Envelope: |rotation/shear slopes| <= sin(max_angle_deg) plus a
-    projective allowance |g|,|h| <= proj_budget (stabilizing corrections
-    are exp of smoothed log-residuals — near identity, so the default
-    1e-4 is generous: it allows the perspective to bend coordinates by
-    ~proj_budget * dim^2 / 2 px across the frame). Out-of-envelope maps
-    degrade (clamp), exactly like the affine contract. The small/large
-    branch is picked by runtime DERIVATIVE bounds of the rational map.
+    projective allowance |g|,|h| <= proj_budget. The budget enters the
+    STATIC kernel geometry as an extra slope allowance 2*proj_budget*dim,
+    so it must stay small: the 5e-6 default admits perspective that bends
+    coordinates by ~proj_budget*dim^2 ~ 20 px across a 1080p frame (far
+    beyond any stabilizing correction, which is exp of a smoothed
+    log-residual) while adding only ~0.02 slope — a 1e-4 budget inflates
+    halos/tap tables ~6x and VMEM-OOMs the strip kernel at 1080p.
+    Out-of-envelope maps degrade (clamp), exactly like the affine
+    contract. The small/large branch is picked by runtime DERIVATIVE
+    bounds of the rational map.
     """
     out_h = out_h if out_h is not None else img.shape[0]
     out_w = out_w if out_w is not None else img.shape[1]
