@@ -442,3 +442,67 @@ class TestEnvelopeObservability:
             st.stabilize(f)
         assert "envelope_exceeded" in st.last_metrics
         assert int(np.asarray(st.last_metrics["envelope_exceeded"])) == 0
+
+
+class TestCanvasCoverage:
+    """coverage_analytic == a real bilinear warp of all-ones (the canvas
+    hot path replaces the 1-channel warp with the closed-form tent
+    product; they must agree exactly inside the envelope)."""
+
+    def test_matches_real_warp(self):
+        import jax.numpy as jnp
+
+        from video_stab_tpu.core.canvas import coverage_analytic
+        from video_stab_tpu.ops.warp import (BORDER_CONSTANT,
+                                             similarity_matrix,
+                                             warp_affine_tiled)
+        h, w, hc, wc = 48, 64, 72, 96
+        for dx, dy, da in ((16.0, 12.0, 0.0), (13.3, 9.7, 0.02),
+                           (20.0, 14.5, -0.035)):
+            m = similarity_matrix(dx, dy, da)
+            ref = warp_affine_tiled(jnp.ones((h, w), jnp.float32), m,
+                                    out_h=hc, out_w=wc,
+                                    border_mode=BORDER_CONSTANT,
+                                    max_shift=64)
+            got = coverage_analytic(m, h, w, hc, wc)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5)
+
+
+    def test_placement_decomposition_matches_full_warp(self):
+        """virtual_canvas_apply's intermediate-warp + static-placement must
+        equal the full-canvas warp of the frame (the VMEM-safe exact
+        decomposition). With no history (weight==0) the composite IS the
+        warped frame, so the output crop must match a reference full warp."""
+        import jax.numpy as jnp
+
+        from video_stab_tpu.core.canvas import (canvas_init_value,
+                                                virtual_canvas_apply)
+        from video_stab_tpu.core.params import StabilizerParams
+        from video_stab_tpu.ops.warp import (BORDER_CONSTANT,
+                                             similarity_matrix,
+                                             warp_affine_tiled)
+        rng = np.random.default_rng(5)
+        h, w = 40, 56
+        for scale in (1.25, 1.5):
+            params = StabilizerParams(enable_virtual_canvas=True,
+                                      canvas_scale_factor=scale)
+            frame = jnp.asarray(
+                rng.integers(0, 255, (h, w, 3)).astype(np.float32))
+            canvas, weight = canvas_init_value(params, h, w)
+            hc, wc = canvas.shape[:2]
+            oy, ox = (hc - h) / 2.0, (wc - w) / 2.0
+            corr = jnp.asarray([3.7, -2.2, 0.01], jnp.float32)
+            _, _, out = virtual_canvas_apply(params, canvas, weight, frame,
+                                             corr)
+            m = similarity_matrix(corr[0] + ox, corr[1] + oy, corr[2])
+            full = warp_affine_tiled(frame, m, out_h=hc, out_w=wc,
+                                     border_mode=BORDER_CONSTANT,
+                                     max_shift=int(max(ox, oy)) + 32)
+            full_u8 = np.clip(np.round(np.asarray(full)), 0, 255)
+            y0, x0 = int(round(oy)), int(round(ox))
+            ref = full_u8[y0:y0 + h, x0:x0 + w]
+            np.testing.assert_allclose(np.asarray(out), ref, atol=1.0)
+            # <=1 u8 level everywhere (rounding-order), exact nearly always
+            frac_diff = (np.abs(np.asarray(out) - ref) > 0).mean()
+            assert frac_diff < 0.02, frac_diff

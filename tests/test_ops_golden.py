@@ -450,3 +450,30 @@ class TestHoughSparseDense:
         np.testing.assert_array_equal(np.asarray(lo), np.asarray(ld))
         np.testing.assert_array_equal(np.asarray(vo), np.asarray(vd))
         np.testing.assert_array_equal(np.asarray(mo), np.asarray(md))
+
+
+class TestResampleAxisAligned:
+    """resample_axis_aligned == warp_affine restricted to diagonal maps
+    (AutoZoomCrop's dynamic crop+resize moved off the 2-D gather)."""
+
+    def test_matches_warp_affine(self):
+        import jax.numpy as jnp
+
+        from video_stab_tpu.ops.resize import resample_axis_aligned
+        from video_stab_tpu.ops.warp import BORDER_CONSTANT, warp_affine
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((37, 53, 3)).astype(np.float32) * 255)
+        for (y0, sy, x0, sx, oh, ow) in (
+                (3.25, 0.8, 5.75, 0.9, 40, 48),
+                (0.0, 37 / 24, 0.0, 53 / 40, 24, 40),
+                (-0.5, 1.1, 51.0, 0.3, 32, 16)):   # partly out of range
+            ref = warp_affine(
+                img,
+                jnp.asarray([[sx, 0.0, x0], [0.0, sy, y0]], jnp.float32),
+                out_h=oh, out_w=ow, border_mode=BORDER_CONSTANT,
+                inverse_map=True)
+            got = resample_axis_aligned(img, jnp.float32(y0),
+                                        jnp.float32(sy), jnp.float32(x0),
+                                        jnp.float32(sx), oh, ow)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-3)

@@ -27,7 +27,7 @@ import numpy as np
 from video_stab_tpu.core.params import AutoZoomCropParams
 from video_stab_tpu.ops.color import bgr_to_gray, saturate_u8
 from video_stab_tpu.ops.filters import morph_close, threshold_binary
-from video_stab_tpu.ops.warp import BORDER_CONSTANT, warp_affine
+from video_stab_tpu.ops.resize import resample_axis_aligned
 
 
 def interior_rect(mask: jnp.ndarray, max_iters: Optional[int] = None,
@@ -123,26 +123,21 @@ def auto_zoom_crop_f32(params: AutoZoomCropParams, frame: jnp.ndarray,
     out_h = h if keep_input_size else params.out_height
     out_w = w if keep_input_size else params.out_width
 
-    # Crop + resize fused as one inverse-map affine sample: output pixel
-    # (x, y) reads source (nx0 + x*new_w/out_w, y0 + y*rh/out_h).
+    # Crop + resize fused as one inverse-map axis-aligned sample: output
+    # pixel (x, y) reads source (nx0 + x*new_w/out_w, y0 + y*rh/out_h).
+    # The rect is data-dependent (traced), so the sample runs as two
+    # on-device interpolation-matrix matmuls (ops/resize.py
+    # resample_axis_aligned) — MXU work instead of a 2-D gather.
     sx = new_w / out_w
     sy = rh / out_h
-    m_inv = jnp.stack([
-        jnp.stack([sx, jnp.float32(0.0), nx0]),
-        jnp.stack([jnp.float32(0.0), sy, y0]),
-    ])
-    out = warp_affine(frame, m_inv, out_h=out_h, out_w=out_w,
-                      border_mode=BORDER_CONSTANT, inverse_map=True)
+    out = resample_axis_aligned(frame, y0, sy, nx0, sx, out_h, out_w)
 
     # No-content fallback: pass the frame through resized (the reference
     # returns the original, AutoZoomCrop.cpp:149-152).
     has_content = jnp.any(content > 0)
-    m_id = jnp.stack([
-        jnp.stack([jnp.float32(w / out_w), jnp.float32(0.0), jnp.float32(0.0)]),
-        jnp.stack([jnp.float32(0.0), jnp.float32(h / out_h), jnp.float32(0.0)]),
-    ])
-    fallback = warp_affine(frame, m_id, out_h=out_h, out_w=out_w,
-                           border_mode=BORDER_CONSTANT, inverse_map=True)
+    fallback = resample_axis_aligned(
+        frame, jnp.float32(0.0), jnp.float32(h / out_h),
+        jnp.float32(0.0), jnp.float32(w / out_w), out_h, out_w)
     out = jnp.where(has_content, out, fallback)
     return out
 

@@ -61,6 +61,38 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return x
 
 
+def resample_axis_aligned(img: jnp.ndarray, y0, sy, x0, sx,
+                          out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear sampling of (H, W[, C]) at the axis-aligned map
+    ``src = (x0 + x * sx, y0 + y * sy)`` with TRACED (dynamic) offsets and
+    scales — ``warp_affine`` restricted to diagonal maps, as two on-device
+    interpolation-matrix matmuls instead of a 2-D gather (the gather
+    formulation costs ~19 ms at 1080p; this is MXU work).
+
+    Exact: for an axis-aligned map bilinear separates, out[o,p] =
+    sum_ij wy[o,i] * wx[p,j] * img[i,j] with tent weights — the dense
+    matmul adds only exact zeros. Out-of-range samples get partial/zero
+    weight sums, matching warp_affine's BORDER_CONSTANT value 0.
+
+    Serves AutoZoomCrop's dynamic crop+resize (the interior rect is
+    data-dependent; AutoZoomCrop.cpp:246-270 does GPU warpAffine).
+    """
+    has_c = img.ndim == 3
+    h, w = img.shape[:2]
+    sy_o = y0 + jnp.arange(out_h, dtype=jnp.float32) * sy     # (out_h,)
+    sx_o = x0 + jnp.arange(out_w, dtype=jnp.float32) * sx     # (out_w,)
+    iy = jnp.arange(h, dtype=jnp.float32)
+    ix = jnp.arange(w, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy_o[:, None] - iy[None, :]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx_o[:, None] - ix[None, :]))
+    x = img.astype(jnp.float32)
+    if has_c:
+        x = jnp.einsum("oh,hwc->owc", wy, x)
+        return jnp.einsum("pw,owc->opc", wx, x)
+    x = jnp.einsum("oh,hw->ow", wy, x)
+    return jnp.einsum("pw,ow->op", wx, x)
+
+
 # cv::pyrDown 5-tap kernel (1 4 6 4 1)/16.
 _PYR_K = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 
