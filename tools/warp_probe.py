@@ -37,6 +37,13 @@ elif mode == "notaps":
     def one_term(_deg):
         return 1, 1
     W._envelope_terms = one_term
+elif mode == "floor":
+    # No rolls AND single tap: pipeline + convert + store only.
+    from jax.experimental.pallas import tpu as pltpu
+    pltpu.roll = lambda x, shift, axis: x
+    def one_term(_deg):
+        return 1, 1
+    W._envelope_terms = one_term
 
 def scan_warp(img):
     def body(c, i):

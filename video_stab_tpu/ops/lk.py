@@ -212,6 +212,7 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
         i_win, ix_win, iy_win = tmpl[:, 0], tmpl[:, 1], tmpl[:, 2]
 
         # Spatial gradient matrix + trackability (cv2's minEigThreshold).
+        g_stack = tmpl[:, 1:]                              # (N,2,win,win)
         g11 = jnp.sum(ix_win * ix_win, axis=(1, 2))
         g12 = jnp.sum(ix_win * iy_win, axis=(1, 2))
         g22 = jnp.sum(iy_win * iy_win, axis=(1, 2))
@@ -252,12 +253,33 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
             cx0 = jnp.floor(pt0[:, 0] - half).astype(jnp.int32) - drift
             c_slab = _slab_select(curr_l, cy0, cx0, s_c)   # (N,s_c,s_c)
 
-            def window_at(pt):
+            # One Newton step, op-count-minimized: the serial iteration
+            # chain is bound by per-op fixed cost (~1-3 us/op measured,
+            # tools/lk_op_probe.py), not MACs — so both hat-weight builds
+            # fuse into ONE broadcast op and the two image-residual
+            # reductions into ONE einsum against the stacked gradients.
+            ii = jnp.arange(win, dtype=jnp.float32)[None, None, :, None]
+            aa = jnp.arange(s_c, dtype=jnp.float32)[None, None, None, :]
+
+            def newton(pt, done):
                 cy = jnp.clip(pt[:, 1] - half - cy0.astype(jnp.float32),
                               0.0, s_c - win - 1.0)
                 cx = jnp.clip(pt[:, 0] - half - cx0.astype(jnp.float32),
                               0.0, s_c - win - 1.0)
-                return _interp_window(c_slab, cy, cx, win)  # (N,win,win)
+                c2 = jnp.stack([cy, cx], axis=1)[:, :, None, None]
+                wyx = jnp.maximum(0.0, 1.0 - jnp.abs(c2 + ii - aa))
+                t = jnp.einsum("nia,nab->nib", wyx[:, 0], c_slab,
+                               preferred_element_type=jnp.float32)
+                j_win = jnp.einsum("njb,nib->nij", wyx[:, 1], t,
+                                   preferred_element_type=jnp.float32)
+                b = jnp.einsum("nij,ncij->nc", j_win - i_win, g_stack,
+                               preferred_element_type=jnp.float32)
+                dx = -(inv11 * b[:, 0] + inv12 * b[:, 1])
+                dy = -(inv12 * b[:, 0] + inv22 * b[:, 1])
+                step = jnp.where(done, 0.0, 1.0)[:, None]
+                new_pt = pt + step * jnp.stack([dx, dy], axis=-1)
+                done = done | (dx * dx + dy * dy <= eps * eps)
+                return new_pt, done
 
             def cond(carry):
                 # Early exit once EVERY live point converged (cv2's eps
@@ -270,17 +292,21 @@ def lk_track(prev_gray: jnp.ndarray, curr_gray: jnp.ndarray,
                 return (i < iters_per) & ~jnp.all(done)
 
             def body(carry):
+                # FIVE Newton steps per trip: the loop is budget-bound on
+                # real content (one straggler point holds every level at
+                # its full budget — tools/lk_budget_probe.py), so amortize
+                # the while_loop's fixed per-trip cost (cond eval + carry
+                # shuffle) over a round's whole step budget. Substeps past
+                # the budget are select-masked (exact cv2 iteration-count
+                # semantics); past convergence they are frozen no-ops.
                 i, pt, done = carry
-                j_win = window_at(pt)
-                diff = j_win - i_win
-                b1 = jnp.sum(diff * ix_win, axis=(1, 2))
-                b2 = jnp.sum(diff * iy_win, axis=(1, 2))
-                dx = -(inv11 * b1 + inv12 * b2)
-                dy = -(inv12 * b1 + inv22 * b2)
-                step = jnp.where(done, 0.0, 1.0)[:, None]
-                new_pt = pt + step * jnp.stack([dx, dy], axis=-1)
-                done = done | (dx * dx + dy * dy <= eps * eps)
-                return i + 1, new_pt, done
+                pt, done = newton(pt, done)
+                for k in range(1, 5):
+                    pt_k, done_k = newton(pt, done)
+                    in_budget = (i + k) < iters_per
+                    pt = jnp.where(in_budget, pt_k, pt)
+                    done = jnp.where(in_budget, done_k, done)
+                return i + 5, pt, done
 
             _, pt1, done1 = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), pt0, done0))

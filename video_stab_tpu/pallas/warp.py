@@ -69,17 +69,29 @@ def _terms_from_slope(s: float) -> tuple[int, int]:
     return ry, rx
 
 
-def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
-                 pad_y: int, halo_x: int, strip_in_w: int,
-                 ry_terms: int, rx_terms: int, sh_a: int, sw_a: int,
+def _warp_kernel(oy_ref, ox_ref, m_ref, img_ref, out_ref, *,
+                 ntx: int, pad_y: int, halo_x: int,
+                 ry_terms: int, rx_terms: int,
                  projective: bool = False):
-    """One grid step = one (channel, column strip).
+    """One grid step = ONE (channel, output tile).
 
-    img_ref: (1, Hp, strip_in_w) u8 — the strip plus halo_x on each side,
-    already offset so in-strip x index = out_x - strip_x0 + halo_x.
-    out_ref: (1, out_h, STRIP_W) u8. m_ref: (1, 8) f32 inverse map in SMEM
-    (a b c d e f g h; g = h = 0 and projective=False for affine maps —
-    the divide then compiles away).
+    The per-tile slab origin is data-dependent (it follows the inverse
+    map), so it is computed OUTSIDE the kernel — vectorized over all
+    tiles in a handful of XLA ops — and fed in as scalar-prefetch arrays
+    (oy/ox: the clamped per-tile slab origins in padded-image element
+    coordinates). The input index_map aligns them down to the (8, 128)
+    tile grid (provably, via the in-map division); the kernel re-derives
+    the 0..7 / 0..127 residuals and cancels them with two rolls. The
+    Pallas pipeline then streams each tile's (sh_a, sw_a) input rect with
+    its own double-buffered DMA: no strip-halo re-reads, no in-kernel
+    tile walk, no per-tile offset reductions — the body is just convert,
+    two residual rolls, and the tap MACs. (The previous in-kernel fori
+    walk spent ~0.64 us/tile on coords+sync+loop overhead — 2.5x the tap
+    math.)
+
+    img_ref: (1, sh_a, sw_a) u8 slab; out_ref: (1, TH, TW) u8;
+    m_ref: (1, 8) f32 inverse map in SMEM (a b c d e f g h; g = h = 0 and
+    projective=False for affine maps — the divide then compiles away).
     """
     a_ = m_ref[0, 0]
     b_ = m_ref[0, 1]
@@ -90,73 +102,61 @@ def _warp_kernel(m_ref, img_ref, out_ref, *, out_h: int,
     g_ = m_ref[0, 6]
     h_ = m_ref[0, 7]
 
-    strip = pl.program_id(1)
-    strip_x0 = (strip * STRIP_W).astype(jnp.float32)
-
-    nty = out_h // TH
-    ntx = STRIP_W // TW
+    t = pl.program_id(1)
+    sh_a = img_ref.shape[1]
+    sw_a = img_ref.shape[2]
 
     dy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
     dx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
+    y0 = ((t // ntx) * TH).astype(jnp.float32)
+    x0 = ((t % ntx) * TW).astype(jnp.float32)
+    sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
+    sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
+    if projective:
+        wdn = g_ * (x0 + dx) + h_ * (y0 + dy) + 1.0
+        inv = 1.0 / wdn
+        sx = sx * inv
+        sy = sy * inv
 
-    def tile_body(idx, _):
-        ty = idx // ntx
-        tx = idx % ntx
-        y0 = (ty * TH).astype(jnp.float32)
-        x0 = strip_x0 + (tx * TW).astype(jnp.float32)
-        sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
-        sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
-        if projective:
-            wdn = g_ * (x0 + dx) + h_ * (y0 + dy) + 1.0
-            inv = 1.0 / wdn
-            sx = sx * inv
-            sy = sy * inv
-        # Base = floor of the min residual (source minus local output
-        # coordinate); invariant: qy - dy in [0, ry_terms) for in-envelope
-        # maps (ops/warp.py:226-233).
-        base_y = jnp.floor(jnp.min(sy - dy)).astype(jnp.int32)
-        base_x = jnp.floor(jnp.min(sx - dx)).astype(jnp.int32)
-        # Slice starts within this strip's VMEM block; clamp to stay
-        # in-bounds (out-of-envelope maps degrade, never read OOB).
-        start_y = jnp.clip(base_y + pad_y, 0, img_ref.shape[1] - sh_a)
-        start_x = jnp.clip(
-            base_x - (strip * STRIP_W) + halo_x, 0, strip_in_w - sw_a)
-        sy_al = pl.multiple_of((start_y // 8) * 8, 8)
-        sx_al = pl.multiple_of((start_x // 128) * 128, 128)
-        # Mosaic has no direct u8<->f32 casts (hop through int32) and no
-        # i8 dynamic rotate — convert first, then rotate the alignment
-        # residual to row/col 0 so the static taps index from the true base.
-        slab = img_ref[0, pl.ds(sy_al, sh_a), pl.ds(sx_al, sw_a)
-                       ].astype(jnp.int32).astype(jnp.float32)
-        slab = pltpu.roll(slab, (sh_a - (start_y - sy_al)) % sh_a, 0)
-        slab = pltpu.roll(slab, (sw_a - (start_x - sx_al)) % sw_a, 1)
-        qy = sy - (start_y - pad_y).astype(jnp.float32)
-        qx = sx - (start_x - halo_x + strip * STRIP_W).astype(jnp.float32)
-        # Hoist the x-taps (shared across every ry term). Straight-line
-        # accumulation: a per-ry runtime skip (pl.when on max(wy)) measured
-        # 3.7x SLOWER — 34k vector-reduction branches flush the VPU
-        # pipeline; predictable MACs win.
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
-               for rx in range(rx_terms)]
-        acc = jnp.zeros((TH, TW), jnp.float32)
-        for ry in range(ry_terms):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
-            inner = jnp.zeros((TH, TW), jnp.float32)
-            for rx in range(rx_terms):
-                inner = inner + wxs[rx] * slab[ry:ry + TH, rx:rx + TW]
-            acc = acc + wy * inner
+    resid_y = oy_ref[t] % 8
+    resid_x = ox_ref[t] % 128
+    # Mosaic has no direct u8<->f32 casts (hop through int32) and no i8
+    # dynamic rotate — widen to i32, rotate the alignment residuals to
+    # row/col 0 so the static taps index from the true base, and shrink
+    # to the tap-reachable rows between the rolls (the f32 convert and
+    # the lane roll then touch ~40% less data than rolling the full
+    # aligned fetch).
+    rows = TH + ry_terms - 1
+    slab = img_ref[0].astype(jnp.int32)
+    slab = pltpu.roll(slab, (sh_a - resid_y) % sh_a, 0)[:rows]
+    slab = pltpu.roll(slab, (sw_a - resid_x) % sw_a, 1)
+    slab = slab[:, :TW + rx_terms - 1].astype(jnp.float32)
+    qy = sy - (oy_ref[t] - pad_y).astype(jnp.float32)
+    qx = sx - (ox_ref[t] - halo_x).astype(jnp.float32)
+    # Hoist the x-taps (shared across every ry term). Straight-line
+    # accumulation: a per-ry runtime skip (pl.when on max(wy)) measured
+    # 3.7x SLOWER — 34k vector-reduction branches flush the VPU
+    # pipeline; predictable MACs win.
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
+           for rx in range(rx_terms)]
+    # Materialize each lane-shifted slab view once (lane shifts cost more
+    # than sublane-offset slices; this turns ry*rx lane shifts into rx).
+    slabs_x = [slab[:, rx:rx + TW] for rx in range(rx_terms)]
+    acc = jnp.zeros((TH, TW), jnp.float32)
+    for ry in range(ry_terms):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
+        inner = jnp.zeros((TH, TW), jnp.float32)
+        for rx in range(rx_terms):
+            inner = inner + wxs[rx] * slabs_x[rx][ry:ry + TH]
+        acc = acc + wy * inner
 
-        # Round half-to-even (cv2 saturate_cast / jnp.round semantics), so
-        # TPU and CPU dispatch of warp_affine_fast agree bit-for-bit even
-        # on exact .5 bilinear ties (reachable with rational weights).
-        r = jnp.floor(acc + 0.5)
-        tie_odd = ((r - acc) == 0.5) & ((r * 0.5) != jnp.floor(r * 0.5))
-        r = jnp.where(tie_odd, r - 1.0, r)
-        out_ref[0, pl.ds(ty * TH, TH), pl.ds(tx * TW, TW)] = (
-            jnp.clip(r, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8))
-        return ()
-
-    jax.lax.fori_loop(0, nty * ntx, tile_body, (), unroll=False)
+    # Round half-to-even (cv2 saturate_cast / jnp.round semantics), so
+    # TPU and CPU dispatch of warp_affine_fast agree bit-for-bit even
+    # on exact .5 bilinear ties (reachable with rational weights).
+    r = jnp.floor(acc + 0.5)
+    tie_odd = ((r - acc) == 0.5) & ((r * 0.5) != jnp.floor(r * 0.5))
+    r = jnp.where(tie_odd, r - 1.0, r)
+    out_ref[0] = jnp.clip(r, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
@@ -181,22 +181,18 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     sw_a = -(-(TW + rx_l - 1 + 127) // 128) * 128
 
     oh_a = -(-out_h // TH) * TH
-    ow_a = -(-out_w // STRIP_W) * STRIP_W
-    n_strips = ow_a // STRIP_W
+    ow_a = -(-out_w // TW) * TW
 
     # Vertical pad: translation budget + tile overhang + aligned-slice slack.
     pad_y = max_shift + TH + sh_a + 2
     hp = h + 2 * pad_y
     hp_pad_extra = (-hp) % 8
-    # Horizontal halo: translation budget + the envelope's x-deviation over
-    # the full height + slice width + alignment slack. The strip's VMEM
-    # block is [strip_x0 - halo_x, strip_x0 + STRIP_W + halo_x) in source
-    # coordinates, materialized by padding the image by exactly halo_x so
-    # every strip's Element offset (strip * STRIP_W) is in range.
+    # Horizontal pad: translation budget + the envelope's x-deviation over
+    # the full height + slab width + slack, so every in-envelope tile's
+    # clamped slab origin reads real (padded) content.
     halo_x = (max_shift + int(np.ceil(s_env * (oh_a + 2 * max_shift)))
               + sw_a + 130)
     halo_x = -(-halo_x // 128) * 128
-    strip_in_w = STRIP_W + 2 * halo_x
     # Right pad additionally covers the output width overhang (ow_a > w).
     pad_right = halo_x + (ow_a - w) + (-(w + 2 * halo_x + (ow_a - w)) % 128)
 
@@ -209,31 +205,71 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
         imgp = jnp.pad(img, widths, mode=_pad_mode(border_mode))
     imgp = jnp.transpose(imgp, (2, 0, 1))       # planar (C, Hp, Wp)
 
+    # Per-tile slab origins, vectorized over all tiles at once (the
+    # kernel's former in-loop reductions). The base is the floor of the
+    # min residual (source minus local output coordinate) over the tile;
+    # for the affine map that min sits at a tile corner, and a small
+    # epsilon absorbs both the corner-vs-interior f32 rounding dip and
+    # (for projective maps) the rational map's sub-pixel sag below its
+    # corner chords — the +2 tap-count cushion proves one extra unit of
+    # slack, so lowering the base by <1 keeps every tap in-table.
+    nty = oh_a // TH
+    ntx = ow_a // TW
+    hp_t = h + 2 * pad_y + hp_pad_extra
+    wp_t = w + halo_x + pad_right
+    mf = jnp.reshape(mvec8, (8,))
+    yc = (jnp.arange(nty, dtype=jnp.float32) * TH)[:, None, None, None] \
+        + jnp.asarray([0.0, TH - 1.0], jnp.float32)[None, None, :, None]
+    xc = (jnp.arange(ntx, dtype=jnp.float32) * TW)[None, :, None, None] \
+        + jnp.asarray([0.0, TW - 1.0], jnp.float32)[None, None, None, :]
+    sxc = mf[0] * xc + mf[1] * yc + mf[2]
+    syc = mf[3] * xc + mf[4] * yc + mf[5]
+    if projective:
+        wdn = mf[6] * xc + mf[7] * yc + 1.0
+        inv = 1.0 / wdn
+        sxc = sxc * inv
+        syc = syc * inv
+    eps = 0.51 if projective else 0.01
+    resy = syc - jnp.asarray([0.0, TH - 1.0],
+                             jnp.float32)[None, None, :, None]
+    resx = sxc - jnp.asarray([0.0, TW - 1.0],
+                             jnp.float32)[None, None, None, :]
+    base_y = jnp.floor(jnp.min(resy, axis=(2, 3)) - eps).astype(jnp.int32)
+    base_x = jnp.floor(jnp.min(resx, axis=(2, 3)) - eps).astype(jnp.int32)
+    oy = jnp.clip(base_y + pad_y, 0, hp_t - sh_a).reshape(-1)
+    ox = jnp.clip(base_x + halo_x, 0, wp_t - sw_a).reshape(-1)
+
     def run(imgp, ry_terms, rx_terms):
         # Slab dims from the LARGE branch: both branches then share
-        # identical slice/roll geometry and differ only in tap count.
+        # identical DMA geometry and differ only in tap count.
         kern = functools.partial(
-            _warp_kernel, out_h=oh_a, pad_y=pad_y, halo_x=halo_x,
-            strip_in_w=strip_in_w, ry_terms=ry_terms, rx_terms=rx_terms,
-            sh_a=sh_a, sw_a=sw_a, projective=projective)
-        return pl.pallas_call(
-            kern,
-            grid=(ch, n_strips),
+            _warp_kernel, ntx=ntx, pad_y=pad_y, halo_x=halo_x,
+            ry_terms=ry_terms, rx_terms=rx_terms, projective=projective)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ch, nty * ntx),
             in_specs=[
-                pl.BlockSpec((1, 8), lambda c, s: (0, 0),
+                pl.BlockSpec((1, 8), lambda c, t, oy, ox: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (pl.Element(1), pl.Element(imgp.shape[1]),
-                     pl.Element(strip_in_w)),
-                    lambda c, s: (c, 0, s * STRIP_W),
+                    (pl.Element(1), pl.Element(sh_a), pl.Element(sw_a)),
+                    lambda c, t, oy, ox: (
+                        c,
+                        pl.multiple_of((oy[t] // 8) * 8, 8),
+                        pl.multiple_of((ox[t] // 128) * 128, 128)),
                     memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, oh_a, STRIP_W),
-                                   lambda c, s: (c, 0, s),
+            out_specs=pl.BlockSpec((1, TH, TW),
+                                   lambda c, t, oy, ox: (
+                                       c, t // ntx, t % ntx),
                                    memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
             interpret=interpret,
-        )(mvec8, imgp)
+        )(oy, ox, mvec8, imgp)
 
     if terms_s is None or terms_s == terms_l:
         out = run(imgp, ry_l, rx_l)
