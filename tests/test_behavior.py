@@ -162,3 +162,103 @@ class TestRollCorrectionFixture:
         # detected angle corrects the tilt: sign opposite the applied one
         assert abs(est - (-true_angle)) < 1.5, (est, true_angle)
         assert out.shape == frame.shape
+
+
+class TestFusedRollChain:
+    """core/chain.py fuse_roll: roll rotation composed into the emit warp
+    (ONE full-res resample) must behave like the reference's sequential
+    autoCorrectRoll -> stabilize two-resample chain (examples/
+    vsg.cpp:1246-1313) — same roll estimate stream (both estimate on the
+    uncorrected input, RollCorrection.cpp:32-136), near-identical output,
+    and no sharpness LOSS from the fusion."""
+
+    def _chains(self, fuse, h, w):
+        from video_stab_tpu.core.chain import ProcessingChain
+        from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                                StabilizerParams)
+        mode = ModeParams(enhancer_enabled=False,
+                          roll_correction_enabled=True,
+                          stabilizer_enabled=True)
+        stab = StabilizerParams(smoothing_radius=5, max_corners=80,
+                                ransac_hypotheses=150, analysis_height=90,
+                                analysis_width=120)
+        # Lower Hough threshold: at this reduced scene size the horizon
+        # spans ~120 px after the x0.25 downscale (the default 100-vote
+        # threshold is tuned for >=400 px lines).
+        roll = RollCorrectionParams(angle_filter_min=-10.0,
+                                    angle_filter_max=10.0,
+                                    hough_threshold=40)
+        return ProcessingChain(mode, EnhancerParams(), roll, stab,
+                               fuse_roll=fuse)
+
+    def test_fused_matches_two_pass_on_tilt(self):
+        scene = TestRollCorrectionFixture()._render_tilted(5.0, h=360, w=480)
+        rng = np.random.default_rng(3)
+        jit = [rng.integers(-2, 3, 2) for _ in range(18)]
+        pad = np.pad(scene, ((4, 4), (4, 4), (0, 0)), mode="edge")
+
+        outs, angles = {}, {}
+        for fuse in (True, False):
+            ch = self._chains(fuse, 360, 480)
+            o = []
+            for dx, dy in jit:
+                f = pad[4 + dy:364 + dy, 4 + dx:484 + dx]
+                r = ch.process(f)
+                if r is not None:
+                    o.append(r.astype(np.float32))
+            outs[fuse] = o
+            angles[fuse] = float(ch._state.roll.smoothed_angle)
+
+        # Identical estimator inputs -> identical roll state stream.
+        assert abs(angles[True] - angles[False]) < 1e-4, angles
+        assert angles[True] < -1.0          # some tilt actually corrected
+        # Same correction, different resampling order: outputs agree
+        # closely away from the rotation borders.
+        a = np.stack(outs[True])[:, 40:-40, 40:-40]
+        b = np.stack(outs[False])[:, 40:-40, 40:-40]
+        mad = np.abs(a - b).mean()
+        assert mad < 4.0, mad
+        # One resample instead of two must not LOSE high-frequency
+        # content: compare gradient energy on the last frame interior.
+        ga = np.abs(np.diff(a[-1], axis=0)).mean() \
+            + np.abs(np.diff(a[-1], axis=1)).mean()
+        gb = np.abs(np.diff(b[-1], axis=0)).mean() \
+            + np.abs(np.diff(b[-1], axis=1)).mean()
+        assert ga >= 0.98 * gb, (ga, gb)
+
+    def test_fused_is_transparent_at_zero_roll(self):
+        """Line-free content: the estimator holds alpha at 0 and the
+        fused chain's in-graph identity skip makes it agree with the
+        two-pass chain to within rounding (+-1 u8 level)."""
+        rng = np.random.default_rng(0)
+        world = rng.random((300, 400)).astype(np.float32)
+        world = cv2.GaussianBlur(world, (0, 0), 2)
+        world = (255 * (world - world.min()) / np.ptp(world)).astype(np.uint8)
+        frames = []
+        for i in range(12):
+            dx, dy = rng.integers(-3, 4, 2)
+            f = world[100 + dy:196 + dy, 120 + dx:248 + dx]
+            frames.append(np.stack([f, f, f], -1))
+
+        outs = {}
+        for fuse in (True, False):
+            from video_stab_tpu.core.chain import ProcessingChain
+            from video_stab_tpu.core.params import (EnhancerParams,
+                                                    ModeParams,
+                                                    StabilizerParams)
+            mode = ModeParams(enhancer_enabled=False,
+                              roll_correction_enabled=True,
+                              stabilizer_enabled=True)
+            stab = StabilizerParams(smoothing_radius=5, max_corners=60,
+                                    ransac_hypotheses=100,
+                                    analysis_height=64, analysis_width=96)
+            ch = ProcessingChain(mode, EnhancerParams(),
+                                 RollCorrectionParams(), stab,
+                                 fuse_roll=fuse)
+            outs[fuse] = [ch.process(f) for f in frames]
+            assert float(ch._state.roll.smoothed_angle) == 0.0
+        for a, b in zip(outs[True], outs[False]):
+            assert (a is None) == (b is None)
+            if a is not None:
+                d = np.abs(a.astype(np.float32) - b.astype(np.float32))
+                assert d.max() <= 1.0, d.max()

@@ -336,6 +336,27 @@ class TestGfttTwoStageTopK:
         assert (ma == mb).all()
         assert np.array_equal(pa[ma], pb[mb])
 
+    def test_staged_budget_insufficient_fallback(self):
+        """>N_FAST real candidates whose strongest 512 cluster so densely
+        that NMS can't fill max_corners from them: the staged-budget
+        'insufficient' guard must fall back to the full budget and match
+        the flat path exactly (ops/features.py staged-budget block)."""
+        rng = np.random.default_rng(7)
+        img = rng.random((540, 960)).astype(np.float32)
+        # ~900 strong peaks packed into a 300x300 corner (spacing 10 <<
+        # min_distance -> heavy suppression among the top-ranked), plus
+        # widely-spaced weak peaks only reachable past rank 512.
+        for y in range(10, 300, 10):
+            for x in range(10, 300, 10):
+                img[y, x] = 200.0 + rng.random() * 50.0
+        for y in range(20, 520, 55):
+            for x in range(340, 940, 55):
+                img[y, x] = 50.0 + rng.random() * 20.0
+        pa, ma, pb, mb = self._both(img, max_corners=150,
+                                    quality_level=0.001, min_distance=60.0)
+        assert (ma == mb).all()
+        assert np.array_equal(pa[ma], pb[mb])
+
 
 class TestGlobalTranslationPrior:
     """ops/lk.global_translation_prior: exact integer content motion on

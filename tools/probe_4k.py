@@ -119,6 +119,7 @@ st0 = jax.device_put(stabilizer_state_init(params, H, W))
 timed("emit step (gated)", scan_emit, st0)
 frame = jax.device_put(jnp.asarray(_pool_np[0]))
 timed("gray+resize 4k", scan_gray, frame)
+frame = jax.device_put(jnp.asarray(_pool_np[0]))   # prior scan donated it
 timed("warp 4k x3 small", scan_warp, frame)
 st0 = jax.device_put(stabilizer_state_init(params, H, W))
 timed("ring push 4k", scan_ring, st0)

@@ -65,6 +65,34 @@ class ChainParams(NamedTuple):
     # the fused chain the output size is forced back to the input size
     # (static shapes for the downstream stabilizer state).
     azc: AutoZoomCropParams = AutoZoomCropParams()
+    # Single-resample roll: rotate only the ANALYSIS-scale gray for motion
+    # estimation, queue the frame unrotated, and compose the roll rotation
+    # into the stabilizer's emit warp (stabilizer.py aux_roll machinery).
+    # One full-res resample instead of two — faster AND sharper; the
+    # reference's sequential autoCorrectRoll -> stabilize double-resample
+    # (examples/vsg.cpp:1246-1313) remains available with fuse_roll=False.
+    # Auto-disabled (two-pass) for configs the composition can't express:
+    # azc-after-roll, homography model, virtual canvas.
+    fuse_roll: bool = True
+
+    @property
+    def roll_fusion_active(self) -> bool:
+        return (self.fuse_roll
+                and self.mode.roll_correction_enabled
+                and self.mode.stabilizer_enabled
+                and not self.azc.enabled
+                and self.stabilizer.motion_model != "homography"
+                and not self.stabilizer.enable_virtual_canvas)
+
+    @property
+    def stabilizer_eff(self) -> StabilizerParams:
+        """Stabilizer params with the emit-warp envelope widened for the
+        composed roll rotation when fusion is active."""
+        if self.roll_fusion_active:
+            import dataclasses
+            return dataclasses.replace(self.stabilizer,
+                                       aux_rotation_deg=12.0)
+        return self.stabilizer
 
 
 class ChainState(NamedTuple):
@@ -102,8 +130,54 @@ def _pre_stages(params: ChainParams, state: ChainState,
     return roll_state, saturate_u8(f)
 
 
+def _pre_stages_fused(params: ChainParams, state: ChainState,
+                      frame_u8: jnp.ndarray):
+    """Single-resample roll variant of _pre_stages: estimate the roll
+    angle, rotate only the ANALYSIS-scale gray (1/16th the pixels of the
+    full-res rotation it replaces), and hand back the UNROTATED enhanced
+    frame plus the angle — the stabilizer queues both and composes the
+    rotation into its emit warp (one exact-bilinear resample total)."""
+    from video_stab_tpu.core.stabilizer import _analysis_gray
+    f = frame_u8.astype(jnp.float32)
+    if params.mode.enhancer_enabled:
+        f = enhance_frame(params.enhancer, f)
+    roll_state = estimate_roll_angle(params.roll, state.roll, f)
+    alpha = roll_state.smoothed_angle
+    h, w = f.shape[:2]
+    sp = params.stabilizer
+    gray = _analysis_gray(sp, f)
+    # Rotation about the full-res center conjugated into analysis space —
+    # A = S R S^-1 — exact even for anisotropic analysis scaling.
+    sx = sp.analysis_width / w
+    sy = sp.analysis_height / h
+    r = rotation_matrix_2d(w / 2.0, h / 2.0, alpha)
+    a_mat = jnp.stack([
+        jnp.stack([r[0, 0], r[0, 1] * (sx / sy), r[0, 2] * sx]),
+        jnp.stack([r[1, 0] * (sy / sx), r[1, 1], r[1, 2] * sy]),
+    ]).astype(jnp.float32)
+    # Identity skip: on line-free content the estimator holds alpha at 0
+    # (count==0 decay path) — skip the resample entirely so the analysis
+    # gray keeps its fractional values and the fused chain is then
+    # BIT-IDENTICAL to the unfused stabilizer.
+    gray_rot = jax.lax.cond(
+        alpha == 0.0,
+        lambda g: g,
+        lambda g: warp_affine_fast(g, a_mat, border_mode=BORDER_REPLICATE,
+                                   max_angle_deg=12.0, max_shift=64),
+        gray)
+    f_u8 = saturate_u8(f) if params.mode.enhancer_enabled else frame_u8
+    return roll_state, f_u8, alpha, gray_rot
+
+
 def chain_init_step_fn(params: ChainParams, state: ChainState,
                        frame_u8: jnp.ndarray) -> ChainState:
+    if params.roll_fusion_active:
+        roll_state, f, alpha, gray_rot = _pre_stages_fused(
+            params, state, frame_u8)
+        stab = stabilizer_init_step_fn(params.stabilizer_eff, state.stab, f,
+                                       aux_roll=alpha,
+                                       analysis_gray=gray_rot)
+        return ChainState(roll=roll_state, stab=stab)
     roll_state, f = _pre_stages(params, state, frame_u8)
     stab = stabilizer_init_step_fn(params.stabilizer, state.stab, f)
     return ChainState(roll=roll_state, stab=stab)
@@ -117,6 +191,14 @@ def chain_gated_step_fn(params: ChainParams, state: ChainState,
     False while the stabilizer's look-ahead queue is still filling (the
     emitted frame is then meaningless and the emission cursors are held
     back in-graph — see stabilizer_emit_gated_fn)."""
+    if params.roll_fusion_active:
+        roll_state, f, alpha, gray_rot = _pre_stages_fused(
+            params, state, frame_u8)
+        sp = params.stabilizer_eff
+        stab, _metrics = stabilizer_analyze_step_fn(
+            sp, state.stab, f, aux_roll=alpha, analysis_gray=gray_rot)
+        stab, out, ready = stabilizer_emit_gated_fn(sp, stab)
+        return ChainState(roll=roll_state, stab=stab), out, ready
     roll_state, f = _pre_stages(params, state, frame_u8)
     if params.mode.stabilizer_enabled:
         stab, _metrics = stabilizer_analyze_step_fn(
@@ -141,6 +223,13 @@ def chain_analyze_step_fn(params: ChainParams, state: ChainState,
     """Warm-up variant: pre-stages + analyze WITHOUT emitting, so the
     look-ahead queue actually fills to effective_radius (emitting early
     would advance the cursor and collapse the smoothing look-ahead)."""
+    if params.roll_fusion_active:
+        roll_state, f, alpha, gray_rot = _pre_stages_fused(
+            params, state, frame_u8)
+        stab, _metrics = stabilizer_analyze_step_fn(
+            params.stabilizer_eff, state.stab, f,
+            aux_roll=alpha, analysis_gray=gray_rot)
+        return ChainState(roll=roll_state, stab=stab)
     roll_state, f = _pre_stages(params, state, frame_u8)
     stab, _metrics = stabilizer_analyze_step_fn(
         params.stabilizer, state.stab, f)
@@ -170,10 +259,11 @@ class ProcessingChain:
     def __init__(self, mode: ModeParams, enhancer: EnhancerParams,
                  roll: RollCorrectionParams, stabilizer: StabilizerParams,
                  azc: Optional[AutoZoomCropParams] = None,
-                 pipelined: bool = False):
+                 pipelined: bool = False, fuse_roll: bool = True):
         self.params = ChainParams(mode=mode, enhancer=enhancer, roll=roll,
                                   stabilizer=stabilizer,
-                                  azc=azc or AutoZoomCropParams())
+                                  azc=azc or AutoZoomCropParams(),
+                                  fuse_roll=fuse_roll)
         self.pipelined = pipelined
         self._pending = None
         self._state: Optional[ChainState] = None

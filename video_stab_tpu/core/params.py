@@ -61,6 +61,12 @@ class StabilizerParams:
     # the per-frame cost, especially at 4K - half of what 6 costs. No
     # reference counterpart (cv::warpAffine has no envelope).
     warp_envelope_deg: float = 3.0
+    # Extra emit-warp rotation budget (deg) for an AUXILIARY per-frame
+    # rotation composed into the correction — the fused-chain roll path
+    # (core/chain.py): queued frames stay unrotated and the roll rotation
+    # merges with the stabilizing warp into one resample. 0.0 = feature
+    # off, emit path bit-identical to the plain stabilizer.
+    aux_rotation_deg: float = 0.0
     # Warp kernel branch selection: "auto" picks the small-rotation tap
     # table per frame via lax.cond; "large" compiles one full-envelope
     # kernel — the right choice for VMAPPED multi-stream serving, where

@@ -65,6 +65,7 @@ from video_stab_tpu.ops.lk import lk_track
 from video_stab_tpu.ops.resize import resize_bilinear
 from video_stab_tpu.ops.warp import (
     BORDER_CONSTANT,
+    rotation_matrix_2d,
     similarity_matrix,
     warp_affine_fast,
 )
@@ -117,11 +118,19 @@ def _detect_features(params: StabilizerParams, gray: jnp.ndarray,
 
 
 def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,
-                         frame_u8: jnp.ndarray) -> StabilizerState:
+                         frame_u8: jnp.ndarray,
+                         aux_roll=None,
+                         analysis_gray=None) -> StabilizerState:
     """First-frame initialization (Stabilizer.cpp:271-368): analysis gray +
-    initial GFTT detection + queue the frame."""
+    initial GFTT detection + queue the frame.
+
+    ``aux_roll`` / ``analysis_gray``: fused-chain roll path (core/chain.py)
+    — the caller supplies a pre-rotated analysis-scale gray and the roll
+    angle (degrees) to queue alongside the UNROTATED frame; the rotation
+    is composed into the emit warp instead of resampling here."""
     frame_f32 = frame_u8.astype(jnp.float32)
-    gray = _analysis_gray(params, frame_f32)
+    gray = _analysis_gray(params, frame_f32) if analysis_gray is None \
+        else analysis_gray
     roi = None
     if params.use_roi:
         if params.roi[2] > 0 and params.roi[3] > 0:
@@ -139,21 +148,32 @@ def stabilizer_init_step_fn(params: StabilizerParams, state: StabilizerState,
                               jnp.int32)
     pts, mask = _detect_features(params, gray, roi=roi)
     q = state.frame_ring.shape[0]
+    aux_ring = state.aux_roll_ring
+    if aux_roll is not None:
+        aux_ring = aux_ring.at[state.n_frames % q].set(
+            jnp.asarray(aux_roll, jnp.float32))
     return state._replace(
         prev_gray=gray,
         prev_pts=pts,
         prev_mask=mask,
         frame_ring=state.frame_ring.at[state.n_frames % q].set(frame_u8),
         n_frames=state.n_frames + 1,
+        aux_roll_ring=aux_ring,
     )
 
 
 def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
                             frame_u8: jnp.ndarray,
+                            aux_roll=None,
+                            analysis_gray=None,
                             ) -> tuple[StabilizerState, dict]:
-    """Per-frame motion analysis (generateTransform, Stabilizer.cpp:402-761)."""
+    """Per-frame motion analysis (generateTransform, Stabilizer.cpp:402-761).
+
+    ``aux_roll`` / ``analysis_gray``: fused-chain roll path — see
+    stabilizer_init_step_fn."""
     frame_f32 = frame_u8.astype(jnp.float32)
-    gray = _analysis_gray(params, frame_f32)
+    gray = _analysis_gray(params, frame_f32) if analysis_gray is None \
+        else analysis_gray
 
     # Conditional CLAHE under feature starvation (drone mode). The reference's
     # applyConditionalCLAHE calls shouldApplyConditionalCLAHE(-1) which resets
@@ -286,6 +306,10 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
         (n % params.redetect_interval) == 0, redetect, keep, None)
 
     q = state.frame_ring.shape[0]
+    aux_ring = state.aux_roll_ring
+    if aux_roll is not None:
+        aux_ring = aux_ring.at[state.n_frames % q].set(
+            jnp.asarray(aux_roll, jnp.float32))
     new_state = state._replace(
         prev_gray=gray,
         prev_pts=prev_pts,
@@ -295,6 +319,7 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
         n_path=n,
         frame_ring=state.frame_ring.at[state.n_frames % q].set(frame_u8),
         n_frames=state.n_frames + 1,
+        aux_roll_ring=aux_ring,
         hf=hf,
         starvation_counter=starvation,
         key=key,
@@ -388,6 +413,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                              jnp.zeros(n_ch, jnp.float32))
         h_corr = exp_homography(t_smooth.reshape(3, 3))
         t_mat = None
+        aux_alpha = None       # fused-chain roll is similarity-model only
         # Envelope observability for the projective kernel's static
         # envelope (rotation/shear slope, shift, projective budget —
         # pallas/warp.warp_homography_u8 defaults). Near-identity
@@ -426,6 +452,16 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         exceeded = has_transform & (
             (jnp.abs(da) > env_rad)
             | (jnp.maximum(jnp.abs(dx), jnp.abs(dy)) > WARP_MAX_SHIFT))
+        if params.aux_rotation_deg > 0.0:
+            # Fused-chain roll: the queued frame's roll angle composes
+            # into this emission's warp; each component must stay inside
+            # its own share of the widened envelope.
+            aux_alpha = state.aux_roll_ring[e % state.frame_ring.shape[0]]
+            exceeded = exceeded | (
+                has_transform
+                & (jnp.abs(aux_alpha) > params.aux_rotation_deg))
+        else:
+            aux_alpha = None
 
     def _warp(image):
         if params.motion_model == "homography":
@@ -440,8 +476,22 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         # Pallas strip warp on TPU (pallas/warp.py), XLA tiled elsewhere:
         # exact bilinear inside the static envelope; stabilizing
         # corrections are small rotations + bounded translations.
-        return warp_affine_fast(image, t_mat, border_mode=BORDER_CONSTANT,
-                                max_angle_deg=params.warp_envelope_deg,
+        m_use = t_mat
+        env_deg = params.warp_envelope_deg
+        if aux_alpha is not None:
+            # Fused-chain roll: compose correction o roll-rotation about
+            # the image center into ONE resample (the padded image's
+            # center coincides with the unpadded frame center shifted by
+            # the pad, so shape/2 is exact in both modes). alpha == 0
+            # composes an exact identity.
+            r_mat = rotation_matrix_2d(image.shape[1] / 2.0,
+                                       image.shape[0] / 2.0, aux_alpha)
+            row3 = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+            m_use = (jnp.concatenate([t_mat, row3], axis=0)
+                     @ jnp.concatenate([r_mat, row3], axis=0))[:2]
+            env_deg = params.warp_envelope_deg + params.aux_rotation_deg
+        return warp_affine_fast(image, m_use, border_mode=BORDER_CONSTANT,
+                                max_angle_deg=env_deg,
                                 max_shift=WARP_MAX_SHIFT,
                                 branch=params.warp_branch)
 

@@ -44,8 +44,15 @@ class StabilizerState(NamedTuple):
 
     # Look-ahead frame queue (frame index i -> slot i % Q)
     frame_ring: jnp.ndarray       # (Q, H, W, 3) uint8
-    n_frames: jnp.ndarray         # int32 — frames pushed (incl. first)
+    n_frames: jnp.ndarray        # int32 — frames pushed (incl. first)
     emit_idx: jnp.ndarray         # int32 — next frame index to emit
+    # Per-queued-frame auxiliary rotation (degrees, about the frame
+    # center) composed into the emit warp — the fused-chain roll path
+    # (core/chain.py): frames queue UNROTATED, analysis runs on rotated
+    # analysis-scale grays, and the roll rotation merges with the
+    # stabilizing correction into ONE resample at emit. All zeros (and
+    # composition-exact identity) outside the fused chain.
+    aux_roll_ring: jnp.ndarray    # (Q,) f32 degrees
 
     # Kalman smoother cursor (advanced once per emitted frame)
     kalman_x: jnp.ndarray         # (2, 3) f32 — [position, velocity] per axis
@@ -113,6 +120,7 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         frame_ring=jnp.zeros((q, height, width, 3), jnp.uint8),
         n_frames=jnp.int32(0),
         emit_idx=jnp.int32(0),
+        aux_roll_ring=jnp.zeros((q,), jnp.float32),
         kalman_x=jnp.zeros((2, c), jnp.float32),
         kalman_p=jnp.zeros((2, 2, c), jnp.float32),
         butter_state=jnp.zeros((4, c), jnp.float32),

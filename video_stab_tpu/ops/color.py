@@ -18,7 +18,12 @@ _GRAY_W = (0.114, 0.587, 0.299)
 
 
 def saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
-    """cv::saturate_cast<uchar>: round-half-away then clamp to [0,255], uint8."""
+    """cv::saturate_cast<uchar>: round-half-away then clamp to [0,255], uint8.
+
+    No-op passthrough for u8 input (jnp.clip's float bounds would
+    otherwise promote the whole frame through f32 and back)."""
+    if x.dtype == jnp.uint8:
+        return x
     return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
 
 

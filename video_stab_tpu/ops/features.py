@@ -96,6 +96,7 @@ def good_features_to_track(
     # where the guard's lax.cond (batched predicate) lowers to running
     # BOTH branches + select, costing more than either alone.
     ROW_BUDGET = 32
+    N_FAST = 512
     flat = cand.reshape(-1)
     if topk == "flat" or h * ROW_BUDGET < n_cand or w <= ROW_BUDGET:
         top_vals, top_idx = jax.lax.top_k(flat, n_cand)
@@ -104,19 +105,66 @@ def good_features_to_track(
         flat_v = rv.reshape(-1)
         flat_i = (jnp.arange(h, dtype=jnp.int32)[:, None] * w
                   + ri).reshape(-1)
-        tv, ti = jax.lax.top_k(flat_v, n_cand)
-        tau = tv[n_cand - 1]
-        # Guard: with <= B per-row candidates >= tau, stage 1 kept every
-        # global top-n_cand member (see the exactness argument above).
-        # (cand > -1 term: when fewer than n_cand real candidates exist,
-        # tau is the -1 fill and the guard must count REAL candidates.)
-        guard = jnp.any(
-            jnp.sum((cand >= tau) & (cand > -1.0), axis=1) > ROW_BUDGET)
-        top_vals, top_idx = jax.lax.cond(
-            guard,
-            lambda _: tuple(jax.lax.top_k(flat, n_cand)),
-            lambda _: (tv, flat_i[ti]),
-            None)
+
+        def full_budget(_):
+            """The original exact two-stage path at the full n_cand
+            budget (with its own flat-top_k guard)."""
+            tv, ti = jax.lax.top_k(flat_v, n_cand)
+            tau = tv[n_cand - 1]
+            # Guard: with <= B per-row candidates >= tau, stage 1 kept
+            # every global top-n_cand member (see the exactness argument
+            # above). (cand > -1 term: when fewer than n_cand real
+            # candidates exist, tau is the -1 fill and the guard must
+            # count REAL candidates.)
+            guard = jnp.any(
+                jnp.sum((cand >= tau) & (cand > -1.0), axis=1)
+                > ROW_BUDGET)
+            tv2, ti2 = jax.lax.cond(
+                guard,
+                lambda _: tuple(jax.lax.top_k(flat, n_cand)),
+                lambda _: (tv, flat_i[ti]),
+                None)
+            p, m, _n = _nms_compact(tv2, ti2, w, max_corners,
+                                    min_distance)
+            return p, m
+
+        if n_cand > N_FAST and h * ROW_BUDGET >= N_FAST \
+                and max_corners <= N_FAST:
+            # Staged budget: the NMS conflict matrices are O(n_cand^2)
+            # and the stage-2 top_k scales with its k, but greedy
+            # selection of the first max_corners points depends ONLY on
+            # higher-quality candidates — so a top-N_FAST run is EXACT
+            # whenever it either fills max_corners slots or consumed
+            # every real candidate. Both conditions (plus stage-1
+            # row-budget sufficiency at the reduced tau) are checked
+            # in-graph; violations re-run the full-budget path via
+            # lax.cond (one branch executes).
+            tvf, tif = jax.lax.top_k(flat_v, N_FAST)
+            tauf = tvf[N_FAST - 1]
+            real_per_row = jnp.sum((cand > -1.0), axis=1)
+            row_guard = jnp.any(
+                jnp.sum((cand >= tauf) & (cand > -1.0), axis=1)
+                > ROW_BUDGET)
+            ptsf, maskf, n_sel = _nms_compact(tvf, flat_i[tif], w,
+                                              max_corners, min_distance)
+            insufficient = (n_sel < max_corners) \
+                & (jnp.sum(real_per_row) > N_FAST)
+            return jax.lax.cond(row_guard | insufficient, full_budget,
+                                lambda _: (ptsf, maskf), None)
+        return full_budget(None)
+    pts, mask, _ = _nms_compact(top_vals, top_idx, w, max_corners,
+                                min_distance)
+    return pts, mask
+
+
+def _nms_compact(top_vals: jnp.ndarray, top_idx: jnp.ndarray, w: int,
+                 max_corners: int, min_distance: float
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy min-distance selection over quality-ordered candidates +
+    order-preserving compaction. Returns (pts, mask, n_selected_total —
+    the UNtruncated selection count, used by the staged-budget exactness
+    guard)."""
+    n_cand = top_vals.shape[0]
     cand_x = (top_idx % w).astype(jnp.float32)
     cand_y = (top_idx // w).astype(jnp.float32)
 
@@ -163,4 +211,4 @@ def good_features_to_track(
     pts = jnp.zeros((k + 1, 2), jnp.float32).at[idx].set(
         jnp.stack([cand_x, cand_y], axis=-1))[:k]
     mask = jnp.zeros((k + 1,), bool).at[idx].set(take)[:k]
-    return pts, mask
+    return pts, mask, jnp.sum(selected.astype(jnp.int32))

@@ -161,14 +161,15 @@ def _warp_kernel(oy_ref, ox_ref, m_ref, img_ref, out_ref, *,
 
 def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
                   s_env: float, max_shift: int,
-                  terms_l, terms_s, small_pred, projective: bool,
+                  tiers, projective: bool,
                   interpret: bool):
-    """Shared strip-kernel driver for affine and projective u8 warps.
+    """Shared tile-kernel driver for affine and projective u8 warps.
 
     mvec8: (1, 8) f32 inverse map. s_env: static slope bound (the
-    envelope) used for geometry + the large tap table; terms_s/small_pred:
-    the optional small-branch tap table and its traced sufficiency
-    predicate (None -> single branch).
+    envelope) used for geometry + the full tap table. tiers: list of
+    ((ry_terms, rx_terms), pred) smallest-first; pred is a traced
+    sufficiency predicate (None = unconditional / final tier, whose
+    terms must be the full-envelope table).
     """
     has_c = img.ndim == 3
     if not has_c:
@@ -176,7 +177,7 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     img = img.astype(jnp.uint8)
     h, w, ch = img.shape
 
-    ry_l, rx_l = terms_l
+    ry_l, rx_l = tiers[-1][0]
     sh_a = -(-(TH + ry_l - 1 + 7) // 8) * 8
     sw_a = -(-(TW + rx_l - 1 + 127) // 128) * 128
 
@@ -271,14 +272,20 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
             interpret=interpret,
         )(oy, ox, mvec8, imgp)
 
-    if terms_s is None or terms_s == terms_l:
-        out = run(imgp, ry_l, rx_l)
-    else:
-        out = jax.lax.cond(
-            small_pred,
-            lambda im: run(im, terms_s[0], terms_s[1]),
-            lambda im: run(im, ry_l, rx_l),
-            imgp)
+    # Tier cascade (smallest tap table first): each tier's runtime
+    # sufficiency predicate is exact, so whichever tier executes produces
+    # exact bilinear; nested lax.cond runs ONE branch. Wide envelopes
+    # (the fused-chain roll at 3+12 deg) get a mid tier so a typical
+    # ~1 deg composed rotation never pays the full-envelope tap table.
+    def build(i):
+        (ty, tx), pred = tiers[i]
+        if pred is None or i == len(tiers) - 1:
+            return lambda im: run(im, ty, tx)
+        nxt = build(i + 1)
+        return lambda im: jax.lax.cond(
+            pred, lambda x: run(x, ty, tx), nxt, im)
+
+    out = build(0)(imgp)
     out = jnp.transpose(out, (1, 2, 0))[:out_h, :out_w]
     return out if has_c else out[:, :, 0]
 
@@ -311,25 +318,32 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
 
     s_env = abs(math.sin(math.radians(float(max_angle_deg))))
     terms_l = _envelope_terms(max_angle_deg)
-    # Small-rotation fast branch: most stabilizing corrections sit far
+    # Small-rotation tier cascade: most stabilizing corrections sit far
     # inside the envelope (<= 1/4 of it), where the tap table shrinks ~3x
-    # (e.g. 9x4 -> 4x3 at the default 3 deg). Selected at runtime by an
-    # EXACT per-map bound, so every map still gets exact bilinear.
-    terms_s = _envelope_terms(max_angle_deg * 0.25)
+    # (e.g. 9x4 -> 4x3 at the default 3 deg); wide envelopes (fused-chain
+    # roll, 15 deg) additionally get a 1/16 tier so a ~1 deg composed
+    # rotation pays a small table. Tier selection uses an EXACT per-map
+    # bound, so every tier computes exact bilinear.
     if branch == "large":
-        terms_s = None
-        small_pred = None
+        tiers = [(terms_l, None)]
     else:
         # Exact per-map coordinate ranges over a (TH, TW) tile — the same
-        # quantities _envelope_terms bounds analytically. The small branch
-        # is sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
+        # quantities _envelope_terms bounds analytically. A tier is
+        # sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
         ry_act = jnp.abs(mf6[3]) * (TW - 1) + jnp.abs(mf6[4] - 1.0) * TH
         rx_act = jnp.abs(mf6[1]) * (TH - 1) + jnp.abs(mf6[0] - 1.0) * TW
-        small_pred = (ry_act <= float(terms_s[0] - 2)) \
-            & (rx_act <= float(terms_s[1] - 2))
+        fracs = (0.0625, 0.25) if max_angle_deg > 6.0 else (0.25,)
+        tiers = []
+        for f in fracs:
+            t = _envelope_terms(max_angle_deg * f)
+            if t == terms_l or any(t == p[0] for p in tiers):
+                continue
+            pred = (ry_act <= float(t[0] - 2)) & (rx_act <= float(t[1] - 2))
+            tiers.append((t, pred))
+        tiers.append((terms_l, None))
     return _warp_u8_impl(img, mvec8, out_h, out_w, border_mode,
-                         border_value, s_env, max_shift, terms_l, terms_s,
-                         small_pred, projective=False, interpret=interpret)
+                         border_value, s_env, max_shift, tiers,
+                         projective=False, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -378,12 +392,8 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
     s_env = abs(math.sin(math.radians(float(max_angle_deg)))) \
         + 2.0 * float(proj_budget) * dim
     terms_l = _terms_from_slope(s_env)
-    s_small = abs(math.sin(math.radians(float(max_angle_deg * 0.25)))) \
-        + 0.5 * float(proj_budget) * dim
-    terms_s = _terms_from_slope(s_small)
-    if branch == "large" or terms_s == terms_l:
-        terms_s = None
-        small_pred = None
+    if branch == "large":
+        tiers = [(terms_l, None)]
     else:
         # Runtime derivative bounds of the rational map over the output
         # domain: d(sy)/dx = (d - sy*g)/w etc., |sy| <= out_h + max_shift,
@@ -401,8 +411,18 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
             / denom_lo
         ry_act = dsy_dx * (TW - 1) + dsy_dy * TH
         rx_act = dsx_dy * (TH - 1) + dsx_dx * TW
-        small_pred = (pb < 0.5) & (ry_act <= float(terms_s[0] - 2)) \
-            & (rx_act <= float(terms_s[1] - 2))
+        fracs = (0.0625, 0.25) if max_angle_deg > 6.0 else (0.25,)
+        tiers = []
+        for f in fracs:
+            s_t = abs(math.sin(math.radians(float(max_angle_deg * f)))) \
+                + 2.0 * f * float(proj_budget) * dim
+            t = _terms_from_slope(s_t)
+            if t == terms_l or any(t == p[0] for p in tiers):
+                continue
+            pred = (pb < 0.5) & (ry_act <= float(t[0] - 2)) \
+                & (rx_act <= float(t[1] - 2))
+            tiers.append((t, pred))
+        tiers.append((terms_l, None))
     return _warp_u8_impl(img, mvec8, out_h, out_w, border_mode,
-                         border_value, s_env, max_shift, terms_l, terms_s,
-                         small_pred, projective=True, interpret=interpret)
+                         border_value, s_env, max_shift, tiers,
+                         projective=True, interpret=interpret)
