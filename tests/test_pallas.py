@@ -112,6 +112,45 @@ class TestWarpKernel:
         out = warp_affine_u8(img, m, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
 
+    def test_wide_envelope_large_rotation_edge_rows(self):
+        """A 10-deg rotation inside a 13-deg envelope (the fused-roll
+        chain's regime): the pad must include the sin*width deviation or
+        top/bottom edge tiles read clamped pad and come out black (the
+        pad_y bug the round-3 review caught). Checks BOTH dispatch paths
+        against the gather reference, including the frame edges."""
+        from video_stab_tpu.ops.warp import warp_affine, warp_affine_tiled
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        rng = np.random.default_rng(5)
+        h, w = 96, 640                      # wide: sin(10deg)*640 ~ 111 px
+        img = jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        ang = np.radians(10.0)
+        # rotation about the center (the fused emit composes this form)
+        cx, cy = w / 2.0, h / 2.0
+        m = jnp.array(
+            [[np.cos(ang), -np.sin(ang),
+              (1 - np.cos(ang)) * cx + np.sin(ang) * cy],
+             [np.sin(ang), np.cos(ang),
+              -np.sin(ang) * cx + (1 - np.cos(ang)) * cy]], jnp.float32)
+        ref = np.asarray(warp_affine(img.astype(jnp.float32), m))
+        ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.int64)
+        # ~30-tap accumulation order differs from the 4-tap direct path;
+        # measured f32 drift reaches ~0.01 at this angle, so rounding can
+        # flip anywhere within that window of a .5 boundary.
+        near_tie = np.abs(ref - np.floor(ref) - 0.5) < 2e-2
+        for out in (
+            np.asarray(warp_affine_u8(img, m, max_angle_deg=13.0,
+                                      interpret=True)).astype(np.int64),
+            np.round(np.asarray(warp_affine_tiled(
+                img.astype(jnp.float32), m,
+                max_angle_deg=13.0))).astype(np.int64),
+        ):
+            d = np.abs(out - ref_u8)
+            assert d[~near_tie].max() == 0, d[~near_tie].max()
+            assert d.max() <= 1
+            # The bug signature was whole blacked-out edge tiles: output
+            # must not be zero anywhere the reference is bright.
+            assert not np.any((out == 0) & (ref_u8 > 64))
+
 
 class TestWarpKernelBranches:
     """The runtime small-rotation branch (3x fewer taps) and the

@@ -17,6 +17,7 @@ stages are device-side).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -72,17 +73,31 @@ class ChainParams(NamedTuple):
     # reference's sequential autoCorrectRoll -> stabilize double-resample
     # (examples/vsg.cpp:1246-1313) remains available with fuse_roll=False.
     # Auto-disabled (two-pass) for configs the composition can't express:
-    # azc-after-roll, homography model, virtual canvas.
+    # azc-after-roll, homography model, virtual canvas, bordered emit
+    # (border_pad > 0).
     fuse_roll: bool = True
 
     @property
     def roll_fusion_active(self) -> bool:
+        # border_pad excluded: border construction (fade blend, replicate
+        # ring, crop+zoom) happens on the QUEUED frame, and composing the
+        # roll rotation afterwards would rotate the border ring into the
+        # interior — only the two-pass order expresses those configs.
         return (self.fuse_roll
                 and self.mode.roll_correction_enabled
                 and self.mode.stabilizer_enabled
                 and not self.azc.enabled
                 and self.stabilizer.motion_model != "homography"
-                and not self.stabilizer.enable_virtual_canvas)
+                and not self.stabilizer.enable_virtual_canvas
+                and self.stabilizer.border_pad == 0)
+
+    @property
+    def aux_envelope_deg(self) -> float:
+        """Static bound on the smoothed roll angle: the estimator's EMA
+        moves toward a detected angle inside the acceptance band and
+        decays toward zero otherwise, so |alpha| never leaves the band."""
+        return max(abs(self.roll.angle_filter_min),
+                   abs(self.roll.angle_filter_max))
 
     @property
     def stabilizer_eff(self) -> StabilizerParams:
@@ -91,7 +106,7 @@ class ChainParams(NamedTuple):
         if self.roll_fusion_active:
             import dataclasses
             return dataclasses.replace(self.stabilizer,
-                                       aux_rotation_deg=12.0)
+                                       aux_rotation_deg=self.aux_envelope_deg)
         return self.stabilizer
 
 
@@ -119,10 +134,12 @@ def _pre_stages(params: ChainParams, state: ChainState,
         h, w = f.shape[:2]
         roll_state = estimate_roll_angle(params.roll, roll_state, f)
         rot = rotation_matrix_2d(w / 2.0, h / 2.0, roll_state.smoothed_angle)
-        # Roll angles are EMA-clamped well under 12 deg (RollCorrection.cpp
+        # Roll angles stay inside the acceptance band (RollCorrection.cpp
         # 124-136); tiled warp = exact bilinear at ~8x the gather speed.
         f = warp_affine_fast(f, rot, border_mode=BORDER_REPLICATE,
-                             max_angle_deg=12.0, max_shift=128)
+                             max_angle_deg=max(12.0,
+                                               params.aux_envelope_deg),
+                             max_shift=128)
         if params.azc.enabled:
             # Remove the rotation's black corners before stabilization
             # (roll-correction-file.cpp:61-68); input size kept static.
@@ -147,9 +164,15 @@ def _pre_stages_fused(params: ChainParams, state: ChainState,
     sp = params.stabilizer
     gray = _analysis_gray(sp, f)
     # Rotation about the full-res center conjugated into analysis space —
-    # A = S R S^-1 — exact even for anisotropic analysis scaling.
+    # A = S R S^-1 — exact even for anisotropic analysis scaling. The
+    # anisotropy ratio inflates the off-diagonal slopes by sy/sx, so the
+    # warp envelope is the equivalent angle whose sin covers
+    # ratio * sin(aux band) (static: shapes and params fix it at trace).
     sx = sp.analysis_width / w
     sy = sp.analysis_height / h
+    ratio = max(sx / sy, sy / sx)
+    env_deg = math.degrees(math.asin(min(
+        0.95, ratio * math.sin(math.radians(params.aux_envelope_deg)))))
     r = rotation_matrix_2d(w / 2.0, h / 2.0, alpha)
     a_mat = jnp.stack([
         jnp.stack([r[0, 0], r[0, 1] * (sx / sy), r[0, 2] * sx]),
@@ -163,7 +186,7 @@ def _pre_stages_fused(params: ChainParams, state: ChainState,
         alpha == 0.0,
         lambda g: g,
         lambda g: warp_affine_fast(g, a_mat, border_mode=BORDER_REPLICATE,
-                                   max_angle_deg=12.0, max_shift=64),
+                                   max_angle_deg=env_deg, max_shift=64),
         gray)
     f_u8 = saturate_u8(f) if params.mode.enhancer_enabled else frame_u8
     return roll_state, f_u8, alpha, gray_rot

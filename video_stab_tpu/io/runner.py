@@ -211,10 +211,10 @@ class StabilizerApp:
                            m.stabilizer_enabled):
             # One fused XLA program for the device-side chain
             # (core/chain.py) — one host<->HBM round trip per frame.
-            self.chain = ProcessingChain(m, self.cfg.enhancer,
-                                         self.cfg.roll_correction,
-                                         self.cfg.stabilizer,
-                                         azc=self.cfg.auto_zoom_crop)
+            self.chain = ProcessingChain(
+                m, self.cfg.enhancer, self.cfg.roll_correction,
+                self.cfg.stabilizer, azc=self.cfg.auto_zoom_crop,
+                fuse_roll=getattr(self.cfg, "roll_fusion", True))
             # azc runs INSIDE the fused chain (paired with roll correction,
             # roll-correction-file.cpp:61-68, gated by auto_zoom_crop.enabled).
             self.enhancer = self.roll = self.stabilizer = self.azc = None

@@ -101,38 +101,58 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
     def dense_acc(_):
         return jax.lax.map(one_theta, (cos_t, sin_t))  # (n_theta, n_rho)
 
-    def sparse_acc(_):
-        # Compact edge coordinates with one top_k over the 0/1 edge plane:
-        # descending-value + ascending-index ordering returns ALL edge
-        # indices (in raster order) whenever count <= max_edges — the case
-        # the guard admits — padded with weight-0 entries that vote into a
-        # clipped bin with weight 0, contributing nothing.
-        wf = weight.astype(jnp.float32)
-        vals, idx = jax.lax.top_k(wf, max_edges)          # (K,)
-        px = (idx % w).astype(jnp.float32)
-        py = (idx // w).astype(jnp.float32)
-        # All thetas in ONE batched one-hot einsum (MXU): the serial
-        # per-theta map walks every pixel per theta; here each theta's
-        # histogram contracts only the K compacted points.
-        ridx = jnp.round(px[None, :] * cos_t[:, None]
-                         + py[None, :] * sin_t[:, None]).astype(jnp.int32) \
-            + center                                       # (T, K)
-        r = jnp.clip(ridx, 0, n_hi * 128 - 1)
-        hi = r // 128
-        lo = r % 128
-        whi = (hi[:, :, None] == jnp.arange(n_hi)[None, None, :]
-               ).astype(jnp.bfloat16) * vals.astype(jnp.bfloat16)[None, :, None]
-        wlo = (lo[:, :, None] == jnp.arange(128)[None, None, :]
-               ).astype(jnp.bfloat16)
-        a = jnp.einsum("tph,tpl->thl", whi, wlo,
-                       preferred_element_type=jnp.float32)  # (T, n_hi, 128)
-        return a.reshape(n_theta, n_hi * 128)[:, :n_rho]
+    def make_sparse_acc(cap):
+        def sparse_acc(_):
+            # Compact edge coordinates with one top_k over the 0/1 edge
+            # plane: descending-value + ascending-index ordering returns
+            # ALL edge indices (in raster order) whenever count <= cap —
+            # the case the guard admits — padded with weight-0 entries
+            # that vote into a clipped bin with weight 0, contributing
+            # nothing.
+            wf = weight.astype(jnp.float32)
+            vals, idx = jax.lax.top_k(wf, cap)             # (K,)
+            px = (idx % w).astype(jnp.float32)
+            py = (idx // w).astype(jnp.float32)
+            # All thetas in ONE batched one-hot einsum (MXU): the serial
+            # per-theta map walks every pixel per theta; here each theta's
+            # histogram contracts only the K compacted points.
+            ridx = jnp.round(px[None, :] * cos_t[:, None]
+                             + py[None, :] * sin_t[:, None]
+                             ).astype(jnp.int32) + center   # (T, K)
+            r = jnp.clip(ridx, 0, n_hi * 128 - 1)
+            hi = r // 128
+            lo = r % 128
+            whi = (hi[:, :, None] == jnp.arange(n_hi)[None, None, :]
+                   ).astype(jnp.bfloat16) \
+                * vals.astype(jnp.bfloat16)[None, :, None]
+            wlo = (lo[:, :, None] == jnp.arange(128)[None, None, :]
+                   ).astype(jnp.bfloat16)
+            a = jnp.einsum("tph,tpl->thl", whi, wlo,
+                           preferred_element_type=jnp.float32)
+            return a.reshape(n_theta, n_hi * 128)[:, :n_rho]
+        return sparse_acc
 
     if impl == "dense" or max_edges >= h * w:
         acc = dense_acc(None)
     else:
+        # Staged capacity: the histogram einsums scale with the edge
+        # CAPACITY, not the actual edge count, so try a quarter-capacity
+        # pass first — typical roll-correction frames carry ~4-5k edges
+        # against the 16k default. Every stage is guarded by the exact
+        # count, so the result is identical whichever branch runs.
         n_edges = jnp.sum((edges > 0).astype(jnp.int32))
-        acc = jax.lax.cond(n_edges <= max_edges, sparse_acc, dense_acc, None)
+        cap_s = max_edges // 4
+
+        def full_or_dense(_):
+            return jax.lax.cond(n_edges <= max_edges,
+                                make_sparse_acc(max_edges), dense_acc,
+                                None)
+
+        if cap_s >= 128:
+            acc = jax.lax.cond(n_edges <= cap_s, make_sparse_acc(cap_s),
+                               full_or_dense, None)
+        else:
+            acc = full_or_dense(None)
     acc = acc.T  # (n_rho, n_theta)
 
     # 4-neighbour local maxima (matching OpenCV's > left/up, >= right/down).

@@ -203,10 +203,17 @@ def warp_affine_tiled(img: jnp.ndarray, m: jnp.ndarray,
 
     # The tile grid overhangs out_h/out_w by up to a tile; those lanes are
     # cropped from the result but still sampled, so the pad covers
-    # max_shift + one tile in each dimension (keeps every in-envelope slice
-    # clamp-free — the base-offset/weight invariant depends on that).
-    pad_y = max_shift + th + 2
-    pad_x = max_shift + tw + 2
+    # max_shift + one tile + the envelope's coordinate deviation over the
+    # full frame (sin across the orthogonal extent + the cos-1 ~ s^2
+    # diagonal term — at wide envelopes sin*dim reaches hundreds of px)
+    # in each dimension (keeps every in-envelope slice clamp-free — the
+    # base-offset/weight invariant depends on that).
+    dev_y = int(np.ceil(s_max * (out_w + 2 * max_shift)
+                        + (s_max ** 2) * (out_h + 2 * max_shift)))
+    dev_x = int(np.ceil(s_max * (out_h + 2 * max_shift)
+                        + (s_max ** 2) * (out_w + 2 * max_shift)))
+    pad_y = max_shift + th + 2 + dev_y
+    pad_x = max_shift + tw + 2 + dev_x
     widths = ((pad_y, pad_y), (pad_x, pad_x), (0, 0))
     if border_mode == BORDER_CONSTANT:
         imgp = jnp.pad(img, widths, constant_values=border_value)

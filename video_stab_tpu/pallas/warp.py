@@ -4,15 +4,15 @@ Replaces the XLA ``warp_affine_tiled`` formulation (ops/warp.py) on TPU:
 that one extracts per-tile slabs with vmapped dynamic slices, which XLA
 lowers to slab gathers — measured 18.7 ms for a 1080p×3 warp on a v5e.
 
-Layout: the padded u8 source is processed as overlapping FULL-HEIGHT COLUMN
-STRIPS (``pl.Element`` block indexing), one grid step per (channel, strip).
-A strip plus its halo is a few MB of the ~16 MB VMEM budget at any
-resolution up to 4K — the halo covers the rotation envelope's x-deviation
-across the full image height (|sin| * H) plus the translation budget. The
-kernel walks (8, 128) output tiles inside the strip: one aligned in-VMEM
-dynamic slice each (+ dynamic roll for the alignment residual), then exact
-bilinear reconstruction as a static sum of hat-weighted shifted views —
-the same math as ops/warp.py:153-255 at VPU speed with zero HBM gathers.
+Layout: one grid step per (channel, output TILE). Per-tile slab origins
+(data-dependent — they follow the inverse map) are computed vectorized in
+XLA and fed in as scalar-prefetch arrays; the input ``pl.Element``
+index_map aligns them to the (8, 128) memref tiling, the Pallas pipeline
+streams each tile's (sh_a, sw_a) input rect with its own double-buffered
+DMA, and the kernel body is just u8->i32 widen, two alignment-residual
+rolls, and exact bilinear reconstruction as a static sum of hat-weighted
+shifted views — the same math as ops/warp.py's tiled formulation at VPU
+speed with zero HBM gathers and no strip-halo re-reads.
 
 u8 in / u8 out by design: the reference's whole pipeline operates on CV_8U
 mats (cv::warpAffine on 8U, src/Stabilizer.cpp:1024-1060), so integer
@@ -43,7 +43,6 @@ from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
 # 1080p x3 (small-rotation branch): TH=8 -> 4.3 ms, TH=32 -> 0.94 ms,
 # TH=64 keeps the SAME small-branch tap table (4x3) with half the tiles.
 TH, TW = 64, 128
-STRIP_W = 512           # output columns per grid step
 
 # Projective allowance |g|,|h| of warp_homography_u8's static envelope.
 PROJ_BUDGET_DEFAULT = 5e-6
@@ -184,14 +183,21 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     oh_a = -(-out_h // TH) * TH
     ow_a = -(-out_w // TW) * TW
 
-    # Vertical pad: translation budget + tile overhang + aligned-slice slack.
-    pad_y = max_shift + TH + sh_a + 2
+    # Pads: translation budget + the envelope's coordinate deviation over
+    # the FULL frame (sin term across the orthogonal extent + the cos-1 ~
+    # s^2 diagonal deviation) + slab dims + slack, so every in-envelope
+    # tile's clamped slab origin reads real (padded) content. The sin
+    # term matters once the envelope is wide (the fused-roll chain runs
+    # at warp_envelope + aux_rotation ~ 13 deg, where sin*w is hundreds
+    # of px); omitting it from pad_y silently blacked out edge tiles.
+    dev_y = int(np.ceil(s_env * (ow_a + 2 * max_shift)
+                        + (s_env ** 2) * (oh_a + 2 * max_shift)))
+    pad_y = max_shift + TH + sh_a + 2 + dev_y
     hp = h + 2 * pad_y
     hp_pad_extra = (-hp) % 8
-    # Horizontal pad: translation budget + the envelope's x-deviation over
-    # the full height + slab width + slack, so every in-envelope tile's
-    # clamped slab origin reads real (padded) content.
-    halo_x = (max_shift + int(np.ceil(s_env * (oh_a + 2 * max_shift)))
+    halo_x = (max_shift
+              + int(np.ceil(s_env * (oh_a + 2 * max_shift)
+                            + (s_env ** 2) * (ow_a + 2 * max_shift)))
               + sw_a + 130)
     halo_x = -(-halo_x // 128) * 128
     # Right pad additionally covers the output width overhang (ow_a > w).

@@ -60,6 +60,10 @@ class AppConfig:
     auto_zoom_crop: AutoZoomCropParams = dataclasses.field(
         default_factory=AutoZoomCropParams)
     tracker: TrackerParams = dataclasses.field(default_factory=TrackerParams)
+    # vstab extension (no reference counterpart): single-resample roll —
+    # compose the roll rotation into the stabilizer's emit warp instead
+    # of rotating the full frame separately (core/chain.py fuse_roll).
+    roll_fusion: bool = True
 
 
 _FEATURE_DETECTORS = {0: "gftt", 1: "orb", 2: "fast", 3: "brisk"}
@@ -149,6 +153,7 @@ def parse_config_text(text: str) -> AppConfig:
         stabilizer=stab,
         auto_zoom_crop=_coerce(AutoZoomCropParams, raw.get("auto_zoom_crop")),
         tracker=_coerce(TrackerParams, tracker_raw),
+        roll_fusion=_to_bool(raw.get("roll_fusion", True)),
     )
     return cfg
 
@@ -188,6 +193,7 @@ def save_config(cfg: AppConfig, path: str) -> None:
         "stabilizer": stab,
         "auto_zoom_crop": section(cfg.auto_zoom_crop),
         "deepstream_tracker": section(cfg.tracker, skip=("labels",)),
+        "roll_fusion": cfg.roll_fusion,
     }
     with open(path, "w") as f:
         f.write("%YAML:1.0\n")
