@@ -87,7 +87,8 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
         smoothing_radius=smoothing_radius,
         # vmapped conds run both branches; pick single-branch variants
         # for the batched config (see pallas/warp.py / ops/features.py).
-        warp_branch="large" if n_streams > 1 else "auto",
+        # warp tier selection is in-kernel data now (vmap-clean); only
+        # GFTT's lax.cond guards still need the single-branch variant.
         gftt_topk="flat" if n_streams > 1 else "auto")
     assert k >= params.effective_radius + 1
     # The pool is a jit ARGUMENT (device-resident across calls), not a

@@ -68,10 +68,9 @@ def _terms_from_slope(s: float) -> tuple[int, int]:
     return ry, rx
 
 
-def _warp_kernel(oy_ref, ox_ref, m_ref, img_ref, out_ref, *,
+def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
                  ntx: int, pad_y: int, halo_x: int,
-                 ry_terms: int, rx_terms: int,
-                 projective: bool = False):
+                 tap_tables, projective: bool = False):
     """One grid step = ONE (channel, output tile).
 
     The per-tile slab origin is data-dependent (it follows the inverse
@@ -125,37 +124,55 @@ def _warp_kernel(oy_ref, ox_ref, m_ref, img_ref, out_ref, *,
     # to the tap-reachable rows between the rolls (the f32 convert and
     # the lane roll then touch ~40% less data than rolling the full
     # aligned fetch).
-    rows = TH + ry_terms - 1
+    ry_max = max(tt[0] for tt in tap_tables)
+    rx_max = max(tt[1] for tt in tap_tables)
     slab = img_ref[0].astype(jnp.int32)
-    slab = pltpu.roll(slab, (sh_a - resid_y) % sh_a, 0)[:rows]
+    slab = pltpu.roll(slab, (sh_a - resid_y) % sh_a, 0)[:TH + ry_max - 1]
     slab = pltpu.roll(slab, (sw_a - resid_x) % sw_a, 1)
-    slab = slab[:, :TW + rx_terms - 1].astype(jnp.float32)
+    slab = slab[:, :TW + rx_max - 1].astype(jnp.float32)
     qy = sy - (oy_ref[t] - pad_y).astype(jnp.float32)
     qx = sx - (ox_ref[t] - halo_x).astype(jnp.float32)
-    # Hoist the x-taps (shared across every ry term). Straight-line
-    # accumulation: a per-ry runtime skip (pl.when on max(wy)) measured
-    # 3.7x SLOWER — 34k vector-reduction branches flush the VPU
-    # pipeline; predictable MACs win.
-    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
-           for rx in range(rx_terms)]
-    # Materialize each lane-shifted slab view once (lane shifts cost more
-    # than sublane-offset slices; this turns ry*rx lane shifts into rx).
-    slabs_x = [slab[:, rx:rx + TW] for rx in range(rx_terms)]
-    acc = jnp.zeros((TH, TW), jnp.float32)
-    for ry in range(ry_terms):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
-        inner = jnp.zeros((TH, TW), jnp.float32)
-        for rx in range(rx_terms):
-            inner = inner + wxs[rx] * slabs_x[rx][ry:ry + TH]
-        acc = acc + wy * inner
 
-    # Round half-to-even (cv2 saturate_cast / jnp.round semantics), so
-    # TPU and CPU dispatch of warp_affine_fast agree bit-for-bit even
-    # on exact .5 bilinear ties (reachable with rational weights).
-    r = jnp.floor(acc + 0.5)
-    tie_odd = ((r - acc) == 0.5) & ((r * 0.5) != jnp.floor(r * 0.5))
-    r = jnp.where(tie_odd, r - 1.0, r)
-    out_ref[0] = jnp.clip(r, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    # The tap table is selected AT RUNTIME per call (per stream when the
+    # caller is vmapped): tier_ref holds the index of the smallest table
+    # the map provably fits (driver-side exact bound). pl.when on the
+    # scalar is a real Mosaic branch, so one table's MACs execute — this
+    # replaces the former lax.cond between whole pallas_calls, which a
+    # vmapped caller lowered to running EVERY branch plus a select (the
+    # reason multi-stream serving was pinned to the full-envelope table).
+    tier = tier_ref[0]
+    for ti, (ry_terms, rx_terms) in enumerate(tap_tables):
+
+        @pl.when(tier == ti)
+        def _(ry_terms=ry_terms, rx_terms=rx_terms):
+            # Hoist the x-taps (shared across every ry term).
+            # Straight-line accumulation: a per-ry runtime skip (pl.when
+            # on max(wy)) measured 3.7x SLOWER — 34k vector-reduction
+            # branches flush the VPU pipeline; predictable MACs win.
+            wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
+                   for rx in range(rx_terms)]
+            # Materialize each lane-shifted slab view once (lane shifts
+            # cost more than sublane-offset slices; this turns ry*rx
+            # lane shifts into rx).
+            slabs_x = [slab[:, rx:rx + TW] for rx in range(rx_terms)]
+            acc = jnp.zeros((TH, TW), jnp.float32)
+            for ry in range(ry_terms):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
+                inner = jnp.zeros((TH, TW), jnp.float32)
+                for rx in range(rx_terms):
+                    inner = inner + wxs[rx] * slabs_x[rx][ry:ry + TH]
+                acc = acc + wy * inner
+
+            # Round half-to-even (cv2 saturate_cast / jnp.round
+            # semantics), so TPU and CPU dispatch of warp_affine_fast
+            # agree bit-for-bit even on exact .5 bilinear ties
+            # (reachable with rational weights).
+            r = jnp.floor(acc + 0.5)
+            tie_odd = ((r - acc) == 0.5) \
+                & ((r * 0.5) != jnp.floor(r * 0.5))
+            r = jnp.where(tie_odd, r - 1.0, r)
+            out_ref[0] = jnp.clip(r, 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
 
 
 def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
@@ -246,52 +263,45 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     oy = jnp.clip(base_y + pad_y, 0, hp_t - sh_a).reshape(-1)
     ox = jnp.clip(base_x + halo_x, 0, wp_t - sw_a).reshape(-1)
 
-    def run(imgp, ry_terms, rx_terms):
-        # Slab dims from the LARGE branch: both branches then share
-        # identical DMA geometry and differ only in tap count.
-        kern = functools.partial(
-            _warp_kernel, ntx=ntx, pad_y=pad_y, halo_x=halo_x,
-            ry_terms=ry_terms, rx_terms=rx_terms, projective=projective)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(ch, nty * ntx),
-            in_specs=[
-                pl.BlockSpec((1, 8), lambda c, t, oy, ox: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (pl.Element(1), pl.Element(sh_a), pl.Element(sw_a)),
-                    lambda c, t, oy, ox: (
-                        c,
-                        pl.multiple_of((oy[t] // 8) * 8, 8),
-                        pl.multiple_of((ox[t] // 128) * 128, 128)),
-                    memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, TH, TW),
-                                   lambda c, t, oy, ox: (
-                                       c, t // ntx, t % ntx),
-                                   memory_space=pltpu.VMEM),
-        )
-        return pl.pallas_call(
-            kern,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
-            interpret=interpret,
-        )(oy, ox, mvec8, imgp)
+    # Tier id (smallest tap table whose exact sufficiency predicate
+    # holds) — DATA, not control flow: the kernel branches on it per call
+    # (pl.when on the prefetched scalar), so a vmapped caller gets
+    # per-stream table selection instead of the every-branch+select a
+    # batched lax.cond would lower to. All tables share one kernel and
+    # one DMA geometry (sized by the full-envelope table).
+    tap_tables = tuple(t for t, _pred in tiers)
+    tid = jnp.full((1,), len(tiers) - 1, jnp.int32)
+    for i in reversed(range(len(tiers) - 1)):
+        tid = jnp.where(tiers[i][1], jnp.full((1,), i, jnp.int32), tid)
 
-    # Tier cascade (smallest tap table first): each tier's runtime
-    # sufficiency predicate is exact, so whichever tier executes produces
-    # exact bilinear; nested lax.cond runs ONE branch. Wide envelopes
-    # (the fused-chain roll at 3+12 deg) get a mid tier so a typical
-    # ~1 deg composed rotation never pays the full-envelope tap table.
-    def build(i):
-        (ty, tx), pred = tiers[i]
-        if pred is None or i == len(tiers) - 1:
-            return lambda im: run(im, ty, tx)
-        nxt = build(i + 1)
-        return lambda im: jax.lax.cond(
-            pred, lambda x: run(x, ty, tx), nxt, im)
-
-    out = build(0)(imgp)
+    kern = functools.partial(
+        _warp_kernel, ntx=ntx, pad_y=pad_y, halo_x=halo_x,
+        tap_tables=tap_tables, projective=projective)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ch, nty * ntx),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda c, t, oy, ox, td: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(sh_a), pl.Element(sw_a)),
+                lambda c, t, oy, ox, td: (
+                    c,
+                    pl.multiple_of((oy[t] // 8) * 8, 8),
+                    pl.multiple_of((ox[t] // 128) * 128, 128)),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW),
+                               lambda c, t, oy, ox, td: (
+                                   c, t // ntx, t % ntx),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ch, oh_a, ow_a), jnp.uint8),
+        interpret=interpret,
+    )(oy, ox, tid, mvec8, imgp)
     out = jnp.transpose(out, (1, 2, 0))[:out_h, :out_w]
     return out if has_c else out[:, :, 0]
 
@@ -338,7 +348,9 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         # sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
         ry_act = jnp.abs(mf6[3]) * (TW - 1) + jnp.abs(mf6[4] - 1.0) * TH
         rx_act = jnp.abs(mf6[1]) * (TH - 1) + jnp.abs(mf6[0] - 1.0) * TW
-        fracs = (0.0625, 0.25) if max_angle_deg > 6.0 else (0.25,)
+        # env/16 included at every envelope: steady-state stabilizer
+        # corrections are ~0.05-0.2 deg, inside the 3x3-tap table.
+        fracs = (0.0625, 0.25)
         tiers = []
         for f in fracs:
             t = _envelope_terms(max_angle_deg * f)

@@ -82,17 +82,15 @@ class MultiStreamStabilizer:
 
     def __init__(self, params: StabilizerParams, n_streams: int,
                  mesh: Optional[Mesh] = None):
-        if params.warp_branch == "auto" or params.gftt_topk == "auto":
-            # vmap lowers batched-predicate lax.conds (warp small/large,
-            # GFTT guard) to both-branches + select; pick the single-branch
-            # variants here.
+        if params.gftt_topk == "auto":
+            # vmap lowers batched-predicate lax.conds (the GFTT fallback
+            # guards) to both-branches + select; pick the single-branch
+            # variant here. The WARP no longer needs this: its tap-table
+            # tier is data (a prefetched per-stream scalar branched on
+            # inside the kernel), so warp_branch="auto" vmaps cleanly
+            # with per-stream table selection.
             import dataclasses
-            params = dataclasses.replace(
-                params,
-                warp_branch="large" if params.warp_branch == "auto"
-                else params.warp_branch,
-                gftt_topk="flat" if params.gftt_topk == "auto"
-                else params.gftt_topk)
+            params = dataclasses.replace(params, gftt_topk="flat")
         self.params = params
         self.n_streams = n_streams
         self.mesh = mesh
