@@ -177,6 +177,34 @@ class TestWarpKernelBranches:
             assert d[~near_tie].max() == 0, (ang_deg, d[~near_tie].max())
             assert d.max() <= 1, (ang_deg, d.max())
 
+    def test_vmapped_per_stream_tier_selection(self):
+        """Tier selection is DATA (a prefetched scalar the kernel
+        branches on), so a vmapped batch mixing a tiny and a large
+        rotation must give each stream its exact result — the property
+        that frees multi-stream serving from the pinned full-envelope
+        table (the old lax.cond lowered to every-branch + select)."""
+        import jax
+
+        from video_stab_tpu.ops.warp import warp_affine
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(rng.integers(0, 255, (2, 40, 140, 3),
+                                        dtype=np.uint8))
+        angs = [0.05, 5.2]                   # env/16 tier vs full table
+        ms = jnp.stack([
+            jnp.array([[np.cos(np.radians(a)), -np.sin(np.radians(a)), 1.3],
+                       [np.sin(np.radians(a)), np.cos(np.radians(a)), -0.7]],
+                      jnp.float32) for a in angs])
+        outs = jax.vmap(
+            lambda im, m: warp_affine_u8(im, m, interpret=True))(imgs, ms)
+        for i in range(2):
+            ref = np.asarray(warp_affine(imgs[i].astype(jnp.float32), ms[i]))
+            ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.int64)
+            d = np.abs(np.asarray(outs[i]).astype(np.int64) - ref_u8)
+            near_tie = np.abs(ref - np.floor(ref) - 0.5) < 1e-3
+            assert d[~near_tie].max() == 0, (i, d[~near_tie].max())
+            assert d.max() <= 1, (i, d.max())
+
     def test_half_even_tie_rounding(self):
         """A pure +0.5 px translation on alternating 0/1 pixels produces
         exact .5 bilinear ties everywhere: the kernel must round
