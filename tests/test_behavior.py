@@ -262,3 +262,27 @@ class TestFusedRollChain:
             if a is not None:
                 d = np.abs(a.astype(np.float32) - b.astype(np.float32))
                 assert d.max() <= 1.0, d.max()
+
+    def test_fusion_gating_excludes_incompatible_configs(self):
+        """roll_fusion_active must refuse configs whose border/canvas/
+        homography semantics the single-resample composition can't
+        express (review finding r3)."""
+        from video_stab_tpu.core.chain import ChainParams
+        from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                                StabilizerParams)
+        mode = ModeParams(enhancer_enabled=False,
+                          roll_correction_enabled=True,
+                          stabilizer_enabled=True)
+
+        def cp(**stab_kw):
+            return ChainParams(mode=mode, enhancer=EnhancerParams(),
+                               roll=RollCorrectionParams(),
+                               stabilizer=StabilizerParams(**stab_kw))
+
+        assert cp().roll_fusion_active
+        assert not cp(border_type="fade", border_size=16).roll_fusion_active
+        assert not cp(crop_n_zoom=True, border_size=16).roll_fusion_active
+        assert not cp(motion_model="homography").roll_fusion_active
+        assert not cp(enable_virtual_canvas=True).roll_fusion_active
+        # derived budget follows the acceptance band
+        assert cp().aux_envelope_deg == 10.0
