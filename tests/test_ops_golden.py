@@ -310,6 +310,16 @@ class TestGfttTwoStageTopK:
         assert (ma == mb).all()
         assert np.array_equal(pa[ma], pb[mb])
 
+    def test_redetect_params_match_flat(self):
+        # The fast re-detect config (Stabilizer.cpp:696-747: quality 0.02,
+        # minDistance 15) — denser candidates, lighter suppression; the
+        # staged budget usually fills max_corners from the top 512.
+        img = make_textured(540, 960, seed=31, sigma=1.0)
+        pa, ma, pb, mb = self._both(img, max_corners=200,
+                                    quality_level=0.02, min_distance=15.0)
+        assert (ma == mb).all()
+        assert np.array_equal(pa[ma], pb[mb])
+
     def test_vs_cv2_at_production_size(self):
         img = make_textured(540, 960, seed=29, sigma=1.5)
         import video_stab_tpu.ops.features as F
