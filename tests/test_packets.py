@@ -617,6 +617,47 @@ class TestContainerPacketSink:
         assert [strip(n) for au in back for n in au] == \
             [strip(n) for au in sent for n in au]
 
+    def test_remux_preserves_container_timestamps(self, h264_file,
+                                                  tmp_path):
+        """AccessUnit carries the container's pts/dts (seconds) and the
+        remuxer writes them through (vs_muxp_write_ts) — B-frame streams
+        keep presentation order. Validated by remuxing at a DIFFERENT
+        nominal fps: the original timestamps must survive instead of
+        being restamped to the new rate's decode counter."""
+        from video_stab_tpu.io.packets import (ContainerPacketSink,
+                                               ContainerPacketSource,
+                                               PacketSource)
+        mp4_a = str(tmp_path / "a.mp4")
+        src = PacketSource(h264_file)
+        sink = ContainerPacketSink(mp4_a, fps=30)
+        while (au := src.read()) is not None:
+            sink.write(au)
+        src.stop()
+        sink.close()
+
+        rd = ContainerPacketSource(mp4_a)
+        aus = []
+        while (au := rd.read()) is not None:
+            aus.append(au)
+        rd.stop()
+        pts_in = [au.pts for au in aus]
+        assert all(p is not None for p in pts_in)
+        assert pts_in[:4] == sorted(pts_in[:4])      # 1/30-step times
+
+        mp4_b = str(tmp_path / "b.mp4")
+        sink2 = ContainerPacketSink(mp4_b, fps=60)   # WRONG nominal rate
+        for au in aus:
+            sink2.write(au)
+        sink2.close()
+        rd2 = ContainerPacketSource(mp4_b)
+        pts_out = []
+        while (au := rd2.read()) is not None:
+            pts_out.append(au.pts)
+        rd2.stop()
+        assert len(pts_out) == len(pts_in)
+        for a, b in zip(pts_in, pts_out):
+            assert abs(a - b) < 1e-3, (a, b)         # NOT 1/60 restamped
+
     def test_app_mp4_to_mp4_compressed_passthrough(self, h264_file,
                                                    tmp_path):
         """Full mp4 -> mp4 remux through the managed app graph: demux +

@@ -115,7 +115,20 @@ class Pipeline:
 
     def _run(self):
         last_seq = 0
+        listened = self.listen_to
         while not self._stop.is_set():
+            # Hot listen-to switch: sequence numbers are PER CHANNEL, so
+            # a carried-over cursor would stall until the new channel
+            # catches up to the old one's count (or replay its whole
+            # retained ring). Join the new channel LIVE at its current
+            # head — the interpipe listen-to semantic (GstdManager.cpp
+            # 324-327: the output pipeline picks up the new producer's
+            # next buffer).
+            name = self.listen_to
+            if name != listened:
+                listened = name
+                if name is not None:
+                    last_seq = self.graph.channel(name)._seq
             frame, last_seq = self._next_frame(last_seq)
             if frame is None:
                 continue

@@ -95,12 +95,19 @@ def _load():
         lib.vs_muxp_write.restype = c.c_int
         lib.vs_muxp_write.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
                                       c.c_int]
+        lib.vs_muxp_write_ts.restype = c.c_int
+        lib.vs_muxp_write_ts.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                         c.c_int, c.c_double, c.c_double]
         lib.vs_muxp_close.restype = c.c_int
         lib.vs_muxp_close.argtypes = [c.c_void_p]
         lib.vs_demux_open.restype = c.c_void_p
         lib.vs_demux_open.argtypes = [c.c_char_p, c.c_char_p, c.c_int]
         lib.vs_demux_read.restype = c.c_int
         lib.vs_demux_read.argtypes = [c.c_void_p, c.c_char_p, c.c_int]
+        lib.vs_demux_read2.restype = c.c_int
+        lib.vs_demux_read2.argtypes = [
+            c.c_void_p, c.c_char_p, c.c_int, c.POINTER(c.c_double),
+            c.POINTER(c.c_double), c.POINTER(c.c_int)]
         lib.vs_demux_close.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
@@ -363,14 +370,38 @@ class ContainerDemuxer:
         self.packets_read = 0
 
     def read(self) -> Optional[bytes]:
+        pkt = self.read_packet()
+        return pkt[0] if pkt else None
+
+    def read_packet(self) -> Optional[tuple]:
+        """Next packet as (annexb_bytes, pts_seconds|None, dts_seconds|None,
+        container_keyframe_flag); None at EOF. An oversize packet grows
+        the buffer and retries (the native side retains it) rather than
+        silently truncating the stream."""
         if self._h is None:
             return None
-        n = self._lib.vs_demux_read(self._h, self._buf,
-                                    len(self._buf.raw))
+        import ctypes as c
+        pts = c.c_double(-1e18)
+        dts = c.c_double(-1e18)
+        key = c.c_int(0)
+        while True:
+            n = self._lib.vs_demux_read2(
+                self._h, self._buf, len(self._buf.raw),
+                c.byref(pts), c.byref(dts), c.byref(key))
+            if n != -2:
+                break
+            if len(self._buf.raw) >= (1 << 28):
+                raise RuntimeError(
+                    "demuxed packet exceeds 256 MB buffer cap")
+            self._buf = ctypes.create_string_buffer(
+                len(self._buf.raw) * 2)
         if n <= 0:
             return None
         self.packets_read += 1
-        return self._buf.raw[:n]
+        return (self._buf.raw[:n],
+                pts.value if pts.value > -1e17 else None,
+                dts.value if dts.value > -1e17 else None,
+                bool(key.value))
 
     def close(self) -> None:
         if self._h is not None:

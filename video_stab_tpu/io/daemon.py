@@ -54,10 +54,11 @@ def handle(req):
             src = req["source"]
             if packet or _is_packet(src):
                 # Compressed-domain ingest: relay access units, no decode
-                # (GstdManager.cpp:155-180).
-                from video_stab_tpu.io.packets import (PacketSource,
-                                                       RtspPacketSource)
-                kw["source"] = RtspPacketSource(src)                     if src.startswith("rtsp://")                     else PacketSource(src, realtime_fps=30)
+                # (GstdManager.cpp:155-180). The dispatcher picks the
+                # right reader per container/codec (an .mp4 routed to the
+                # Annex-B scanner would silently yield nothing).
+                from video_stab_tpu.io.packets import open_packet_source
+                kw["source"] = open_packet_source(src, realtime_fps=30)
             else:
                 kw["source"] = open_source(src, SourceParams(source=src))
         if req.get("listen_to"):

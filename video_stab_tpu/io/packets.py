@@ -84,6 +84,21 @@ def group_access_units(nals: List[bytes],
         yield pending
 
 
+class AccessUnit(list):
+    """One access unit — a list of Annex-B NAL byte strings — optionally
+    carrying the container's presentation/decode timestamps in seconds.
+    ContainerPacketSource sets them; ContainerPacketSink preserves them so
+    B-frame streams remux with correct presentation order. Everything in
+    between (channels, relays, file sinks) treats it as a plain
+    list[bytes] and is unaffected."""
+
+    def __init__(self, nals=(), pts: Optional[float] = None,
+                 dts: Optional[float] = None):
+        super().__init__(nals)
+        self.pts = pts
+        self.dts = dts
+
+
 class PacketSource:
     """Access-unit reader over an Annex-B H.264 byte stream.
 
@@ -174,9 +189,10 @@ class ContainerPacketSource:
         self.path = path
         self.realtime_fps = realtime_fps
         self._demux = None
-        self._pending: List[List[bytes]] = []
+        self._pending: List[AccessUnit] = []
         self._pending_open: List[bytes] = []
         self._pending_vcl = False
+        self._open_ts: tuple = (None, None)
         self._eof = False
         self.units_read = 0
 
@@ -193,24 +209,32 @@ class ContainerPacketSource:
         if self._demux is None:
             self.start()
         while not self._pending and not self._eof:
-            data = self._demux.read()
-            if data is None:
+            pkt = self._demux.read_packet()
+            if pkt is None:
                 self._eof = True
                 if self._pending_open:
-                    self._pending.append(self._pending_open)
+                    self._pending.append(AccessUnit(self._pending_open,
+                                                    *self._open_ts))
                     self._pending_open = []
                 break
+            data, pts, dts, _key = pkt
             # One demuxed packet is one coded picture; group via the same
             # slice-header logic for robustness (multi-slice packets stay
-            # one unit; parameter sets from the BSF attach forward).
+            # one unit; parameter sets from the BSF attach forward). Each
+            # unit carries the timestamps of the packet that STARTED it —
+            # preserved through remux so B-frame streams keep their
+            # presentation order.
             codec = "h265" if self.codec_name == "hevc" else "h264"
             for nal in split_nal_units(data):
                 is_vcl = _is_vcl(nal, codec)
                 if is_vcl and self._pending_vcl \
                         and _starts_new_picture(nal, codec):
-                    self._pending.append(self._pending_open)
+                    self._pending.append(AccessUnit(self._pending_open,
+                                                    *self._open_ts))
                     self._pending_open = []
                     self._pending_vcl = False
+                if not self._pending_open:
+                    self._open_ts = (pts, dts)
                 self._pending_open.append(nal)
                 self._pending_vcl = self._pending_vcl or is_vcl
         if not self._pending:
@@ -297,11 +321,23 @@ class RtspPacketSource:
                              {"Accept": "application/sdp"})
         sdp = desc["_body"].decode("latin1", "replace")
         control = "track0"
+        # SDP is SECTIONED: session-level lines, then one m=... block per
+        # media stream. Track which section we are in and take a=control
+        # (and codec attributes) from the VIDEO section only — a
+        # multi-track camera's audio control would otherwise win, and a
+        # video control URL merely CONTAINING the word "video" must not
+        # be skipped.
+        section = "session"
         for line in sdp.splitlines():
             line = line.strip()
+            if line.startswith("m="):
+                section = "video" if line.startswith("m=video") else "other"
+                continue
+            if section == "other":
+                continue
             if line.startswith("a=rtpmap:") and "H265" in line.upper():
                 self.codec_name = "hevc"
-            if line.startswith("a=control:") and "video" not in line:
+            if line.startswith("a=control:") and section == "video":
                 c = line[len("a=control:"):]
                 if c != "*":
                     control = c
@@ -602,14 +638,15 @@ def sps_dimensions(sps_nal: bytes, hevc: bool = False):
             r.u(1)                              # temporal_id_nesting
             # profile_tier_level(1, max_sub)
             r.u(96)                             # general profile/level
-            sub_profile = [r.u(1) for _ in range(max_sub)]
-            sub_level = [r.u(1) for _ in range(max_sub)]
+            # sub-layer flags are INTERLEAVED per layer (H.265 7.3.3:
+            # profile_present[i], level_present[i] in one loop).
+            flags = [(r.u(1), r.u(1)) for _ in range(max_sub)]
             if max_sub > 0:
                 r.u((8 - max_sub) * 2)
-            for i in range(max_sub):
-                if sub_profile[i]:
+            for pf, lf in flags:
+                if pf:
                     r.u(88)
-                if sub_level[i]:
+                if lf:
                     r.u(8)
             r.ue()                              # sps_seq_parameter_set_id
             chroma = r.ue()
@@ -669,9 +706,8 @@ def sps_dimensions(sps_nal: bytes, hevc: bool = False):
         if r.u(1):                              # frame_cropping
             lo, ro, to, bo = r.ue(), r.ue(), r.ue(), r.ue()
             sub_x = 2 if chroma in (1, 2) else 1
-            sub_y = 2 if chroma == 1 else (2 if not frame_mbs_only else 2)
-            sub_y = 2 if chroma == 1 else 1
-            sub_y *= 1 if frame_mbs_only else 2
+            sub_y = (2 if chroma == 1 else 1) \
+                * (1 if frame_mbs_only else 2)
             w -= (lo + ro) * sub_x
             h -= (to + bo) * sub_y
         return int(w), int(h)
@@ -746,7 +782,18 @@ class ContainerPacketSink:
             key = any(16 <= self._hevc_type(n) <= 21 for n in au)
         else:
             key = any(nal_type(n) == 5 for n in au)
-        rc = self._lib.vs_muxp_write(self._h, blob, len(blob), int(key))
+        pts = getattr(au, "pts", None)
+        if pts is not None:
+            # Preserve container timestamps (AccessUnit from a demuxed
+            # source): correct presentation order for B-frame streams,
+            # where decode-order counters would judder playback.
+            dts = getattr(au, "dts", None)
+            rc = self._lib.vs_muxp_write_ts(
+                self._h, blob, len(blob), int(key), float(pts),
+                float(dts) if dts is not None else -1e18)
+        else:
+            rc = self._lib.vs_muxp_write(self._h, blob, len(blob),
+                                         int(key))
         if rc == 0:
             self.units_written += 1
 

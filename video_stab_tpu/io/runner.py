@@ -143,7 +143,16 @@ class StabilizerApp:
         # compressed too (native demux + mp4toannexb — the reference's
         # qtdemux stage).
         self.source = open_packet_source(src, realtime_fps=fps)
-        self.sink = open_packet_sink(self.cfg.output_source, fps=fps)
+        # The sink must speak the SOURCE's codec (an HEVC camera relayed
+        # through an H264-announcing RTSP sink would hand every client an
+        # undecodable stream); codec_name is known once the source is up
+        # (SDP rtpmap / container codec id / extension).
+        if hasattr(self.source, "start"):
+            self.source.start()
+        src_codec = getattr(self.source, "codec_name", "") or "h264"
+        self.sink = open_packet_sink(
+            self.cfg.output_source, fps=fps,
+            codec="h265" if src_codec == "hevc" else "h264")
         self._pkt_decoder = PacketDecoderBridge()
         self._pkt_encoder = PacketEncoderBridge(fps=fps)
         self._pkt_wait_idr = True

@@ -485,23 +485,53 @@ void *vs_muxp_open(const char *path, int width, int height, double fps,
   return m;
 }
 
-// Write one Annex-B access unit. Returns 0 on success.
-int vs_muxp_write(void *handle, const uint8_t *data, int size, int is_key) {
-  PacketMuxer *m = (PacketMuxer *)handle;
-  uint8_t *buf = (uint8_t *)av_malloc(size);
+// Write one Annex-B access unit. pts_s/dts_s: presentation/decode time in
+// SECONDS (pass <= -1e17 for "none": the muxer then stamps a 1/fps
+// decode-order counter — correct only for B-frame-free streams).
+// Returns 0 on success.
+static int muxp_write_impl(PacketMuxer *m, const uint8_t *data, int size,
+                           int is_key, double pts_s, double dts_s) {
+  // av_packet_from_data REQUIRES AV_INPUT_BUFFER_PADDING_SIZE of
+  // zeroed slack past the payload (movenc's NAL parsing reads into it).
+  uint8_t *buf =
+      (uint8_t *)av_malloc(size + AV_INPUT_BUFFER_PADDING_SIZE);
   if (!buf) return -1;
   std::memcpy(buf, data, size);
+  std::memset(buf + size, 0, AV_INPUT_BUFFER_PADDING_SIZE);
   if (av_packet_from_data(m->pkt, buf, size) < 0) {
     av_free(buf);
     return -1;
   }
-  m->pkt->pts = m->pkt->dts = m->pts++;
+  if (pts_s > -1e17) {
+    // Container timestamps (e.g. from the demuxer) — preserves
+    // presentation order for B-frame streams.
+    AVRational us{1, 1000000};
+    double d = dts_s > -1e17 ? dts_s : pts_s;
+    m->pkt->pts = av_rescale_q((int64_t)llround(pts_s * 1e6), us,
+                               m->stream->time_base);
+    m->pkt->dts = av_rescale_q((int64_t)llround(d * 1e6), us,
+                               m->stream->time_base);
+    m->pts++;
+  } else {
+    m->pkt->pts = m->pkt->dts = m->pts++;
+    av_packet_rescale_ts(m->pkt, m->tb, m->stream->time_base);
+  }
   m->pkt->stream_index = m->stream->index;
   if (is_key) m->pkt->flags |= AV_PKT_FLAG_KEY;
-  av_packet_rescale_ts(m->pkt, m->tb, m->stream->time_base);
   int rc = av_interleaved_write_frame(m->fmt, m->pkt);
   av_packet_unref(m->pkt);
   return rc < 0 ? -2 : 0;
+}
+
+int vs_muxp_write(void *handle, const uint8_t *data, int size, int is_key) {
+  return muxp_write_impl((PacketMuxer *)handle, data, size, is_key, -1e18,
+                         -1e18);
+}
+
+int vs_muxp_write_ts(void *handle, const uint8_t *data, int size,
+                     int is_key, double pts_s, double dts_s) {
+  return muxp_write_impl((PacketMuxer *)handle, data, size, is_key, pts_s,
+                         dts_s);
 }
 
 int vs_muxp_close(void *handle) {
@@ -534,6 +564,10 @@ struct Demuxer {
   int vstream = -1;
   bool eof = false;
   bool bsf_eof = false;
+  bool pending = false;        // oversize packet retained for re-delivery
+  double last_pts = -1e18;     // seconds; -1e18 = no timestamp
+  double last_dts = -1e18;
+  int last_key = 0;
 };
 
 // Open a container; returns handle or null. Writes the video codec name
@@ -580,23 +614,37 @@ void *vs_demux_open(const char *path, char *codec_name_out, int cap) {
   return d;
 }
 
+// Deliver the packet held in d->out (timestamps+key stashed, seconds).
+// Returns -2 WITHOUT consuming it when cap is too small — the caller can
+// retry with a bigger buffer.
+static int demux_deliver(Demuxer *d, uint8_t *buf, int cap) {
+  int n = d->out->size;
+  if (n > cap) {
+    d->pending = true;
+    return -2;
+  }
+  std::memcpy(buf, d->out->data, n);
+  AVRational tb = d->fmt->streams[d->vstream]->time_base;
+  d->last_pts = d->out->pts == AV_NOPTS_VALUE ? -1e18
+                                              : d->out->pts * av_q2d(tb);
+  d->last_dts = d->out->dts == AV_NOPTS_VALUE ? -1e18
+                                              : d->out->dts * av_q2d(tb);
+  d->last_key = (d->out->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+  d->pending = false;
+  av_packet_unref(d->out);
+  return n;
+}
+
 // Read the next video packet as Annex-B bytes into buf (cap bytes).
 // Returns byte count, 0 at EOF, -1 on error, -2 if cap is too small
-// (call again with a bigger buffer; the packet is NOT consumed... it is
-// dropped — size the buffer generously).
+// (the packet is RETAINED: call again with a bigger buffer).
 int vs_demux_read(void *handle, uint8_t *buf, int cap) {
   Demuxer *d = (Demuxer *)handle;
+  if (d->pending) return demux_deliver(d, buf, cap);
   for (;;) {
     int ret = av_bsf_receive_packet(d->bsf, d->out);
     if (ret == 0) {
-      int n = d->out->size;
-      if (n > cap) {
-        av_packet_unref(d->out);
-        return -2;
-      }
-      std::memcpy(buf, d->out->data, n);
-      av_packet_unref(d->out);
-      return n;
+      return demux_deliver(d, buf, cap);
     }
     if (ret == AVERROR_EOF) return 0;
     if (ret != AVERROR(EAGAIN)) return -1;
@@ -623,6 +671,20 @@ int vs_demux_read(void *handle, uint8_t *buf, int cap) {
     }
     av_packet_unref(d->pkt);
   }
+}
+
+// vs_demux_read + the retained packet's timestamps (seconds; <= -1e17 =
+// none) and container keyframe flag.
+int vs_demux_read2(void *handle, uint8_t *buf, int cap, double *pts_s,
+                   double *dts_s, int *is_key) {
+  Demuxer *d = (Demuxer *)handle;
+  int n = vs_demux_read(handle, buf, cap);
+  if (n > 0) {
+    if (pts_s) *pts_s = d->last_pts;
+    if (dts_s) *dts_s = d->last_dts;
+    if (is_key) *is_key = d->last_key;
+  }
+  return n;
 }
 
 void vs_demux_close(void *handle) {

@@ -31,14 +31,22 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
     Args:
       edges: (H, W) edge map; any value > 0 counts as an edge pixel.
       theta_range: optional (lo, hi) radians — restrict the accumulator to
-        thetas in [lo, hi]. EXACT for consumers that post-filter to an
-        angle window anyway (roll correction keeps only near-horizontal
-        lines, RollCorrection.cpp:113-119): votes per (rho, theta) cell
-        and the theta-direction peak test are local, so cells outside the
-        window (plus a one-bin margin, included automatically) influence
-        nothing that survives the filter. The full 180-bin sweep is a
-        per-pixel scatter-add over every theta — measured 200+ ms/frame in
-        the fused chain; the 23-bin window is ~8x cheaper.
+        thetas in [lo, hi], for consumers that post-filter to an angle
+        window anyway (roll correction keeps only near-horizontal lines,
+        RollCorrection.cpp:113-119): votes per (rho, theta) cell and the
+        theta-direction peak test are local, so cells outside the window
+        (plus a one-bin margin, included automatically; margin-bin peaks
+        are masked out of the line slots) influence nothing that survives
+        the filter. Per-line (rho, theta, votes) triplets are EXACT; the
+        top-``max_lines`` COMPETITION runs within the window only — a
+        full-sweep accumulator lets strong out-of-window peaks crowd
+        in-window lines out of the top-k (a reference limitation this
+        path deliberately does not reproduce: post-filter consumers get
+        MORE in-window lines and a better-conditioned angle estimate;
+        identical whenever total peak count <= max_lines). The full
+        180-bin sweep is a per-pixel scatter-add over every theta —
+        measured 200+ ms/frame in the fused chain; the 23-bin window is
+        ~8x cheaper.
       impl: "auto" — when the frame has <= max_edges edge pixels (the
         typical case: Canny keeps a few percent), compact them with one
         top_k and run ONE batched one-hot einsum over all thetas — exact,
@@ -162,6 +170,15 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
     right = jnp.pad(acc[:, 1:], ((0, 0), (0, 1)))
     is_peak = (acc > up) & (acc >= down) & (acc > left) & (acc >= right)
     peak_votes = jnp.where(is_peak, acc, 0.0)
+    if theta_range is not None:
+        # The one-bin margin exists so window-edge peaks see their true
+        # neighbours; margin-bin peaks themselves must not consume
+        # top-max_lines slots (they are outside the requested range and
+        # would crowd out in-range lines).
+        tcol = jnp.arange(n_theta) + t0
+        in_range = (tcol * theta >= float(theta_range[0]) - 1e-9) \
+            & (tcol * theta <= float(theta_range[1]) + 1e-9)
+        peak_votes = jnp.where(in_range[None, :], peak_votes, 0.0)
 
     k = min(max_lines, n_rho * n_theta)
     votes, idx = jax.lax.top_k(peak_votes.reshape(-1), k)
