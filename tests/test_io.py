@@ -253,6 +253,53 @@ class TestChannelBridge:
         assert br.is_healthy()
         br.stop()
 
+    def test_listen_to_switch_joins_live(self):
+        """Hot listen-to re-point must join the NEW channel at its current
+        head: sequence numbers are per channel, so a carried-over cursor
+        either stalls (new channel behind the old one's count) or replays
+        the retained ring (ahead). The interpipe semantic is live join
+        (GstdManager.cpp:324-327)."""
+        import time as _t
+
+        from video_stab_tpu.io.channels import StreamGraph
+        g = StreamGraph()
+        got = []
+
+        class _Sink:
+            def write(self, item):
+                got.append(item)
+
+            def close(self):
+                pass
+
+        g.channel("a").depth = 256
+        g.channel("b").depth = 256
+        # Channel a far AHEAD of b in sequence count before the pipeline
+        # ever runs; b pre-loaded with stale history that must NOT replay.
+        for i in range(50):
+            g.channel("a").publish(("a", i))
+        for i in range(5):
+            g.channel("b").publish(("b-stale", i))
+        p = g.add_pipeline("out", listen_to="a", sink=_Sink())
+        p.start()
+        deadline = _t.time() + 5
+        while len(got) < 50 and _t.time() < deadline:
+            _t.sleep(0.01)
+        assert len(got) == 50                 # startup replays retained a
+        p.listen_to = "b"
+        # the switch lands once the in-flight subscribe (0.5 s timeout)
+        # returns; join-live skips items published before that
+        _t.sleep(0.8)
+        n_before = len(got)
+        for i in range(7):
+            g.channel("b").publish(("b-live", i))
+        deadline = _t.time() + 5
+        while len(got) < n_before + 7 and _t.time() < deadline:
+            _t.sleep(0.01)
+        p.stop()
+        post = got[n_before:]
+        assert post == [("b-live", i) for i in range(7)], post[:10]
+
 
 class TestGraphDaemon:
     def test_daemon_lifecycle_and_switch(self):
