@@ -104,21 +104,32 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
 
     if n_streams == 1:
         state = stabilizer_state_init(params, h, w)
-        step = one_step
+
+        def step(st, frame, i):
+            return one_step(st, frame)
     else:
         from video_stab_tpu.parallel import batched_state_init
         state = batched_state_init(params, n_streams, h, w)
-        vstep = jax.vmap(one_step, in_axes=(0, None))
 
-        def step(st, frame):
-            st, m = vstep(st, frame)
+        def one_step_tick(st, frame, tick):
+            st, out, _ready = stabilizer_step_fn(params, st, frame,
+                                                 redetect_tick=tick)
+            return st, jnp.mean(out[0].astype(jnp.float32))
+
+        # The scan counter rides unbatched as the redetect tick — keeps
+        # the redetect lax.cond's predicate SCALAR under vmap (a batched
+        # predicate would run GFTT every frame + select).
+        vstep = jax.vmap(one_step_tick, in_axes=(0, None, None))
+
+        def step(st, frame, i):
+            st, m = vstep(st, frame, i)
             return st, jnp.mean(m)
 
     def scan_fn(st, frame_pool):
         def body(carry, i):
             frame = jax.lax.dynamic_index_in_dim(
                 frame_pool, i % 4, keepdims=False)
-            return step(carry, frame)
+            return step(carry, frame, i)
 
         st, means = jax.lax.scan(body, st, jnp.arange(k, dtype=jnp.int32))
         return st, jnp.mean(means)

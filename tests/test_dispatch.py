@@ -83,10 +83,12 @@ class TestSingleDispatch:
         for _ in range(7):
             ms.stabilize_batch(batch())
         frames = [batch() for _ in range(3)]
+        import jax.numpy as jnp
         with forbid_host_sync():
             for f in frames:
                 fdev = ms._put(f)
-                st, out, _r, _m = ms._step_b(ms._state, fdev)
+                st, out, _r, _m = ms._step_b(ms._state, fdev,
+                                             jnp.int32(8))
                 ms._state = st
                 ms._frames_in += 1
                 ms._emitted += 1

@@ -166,6 +166,7 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
                             frame_u8: jnp.ndarray,
                             aux_roll=None,
                             analysis_gray=None,
+                            redetect_tick=None,
                             ) -> tuple[StabilizerState, dict]:
     """Per-frame motion analysis (generateTransform, Stabilizer.cpp:402-761).
 
@@ -295,15 +296,22 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
 
     # Re-detect features every redetect_interval-th processed frame with the
     # fast re-detect parameters (Stabilizer.cpp:696-747: maxCorners<=200,
-    # quality 0.02, minDistance 15, blockSize 3).
+    # quality 0.02, minDistance 15, blockSize 3). VMAPPED multi-stream
+    # serving passes an UNBATCHED redetect_tick (the shared batch step
+    # counter): a batched predicate would lower this cond to
+    # redetect-every-frame + select; with the scalar tick one branch
+    # executes. Cadence stays every-interval per stream — a reset stream
+    # just redetects on the global phase instead of its own.
     def redetect(_):
         return _detect_features(params, gray, redetect=True)
 
     def keep(_):
         return curr_pts, valid
 
+    tick = n if redetect_tick is None \
+        else jnp.asarray(redetect_tick, jnp.int32) + 1
     prev_pts, prev_mask = jax.lax.cond(
-        (n % params.redetect_interval) == 0, redetect, keep, None)
+        (tick % params.redetect_interval) == 0, redetect, keep, None)
 
     q = state.frame_ring.shape[0]
     aux_ring = state.aux_roll_ring
@@ -619,12 +627,15 @@ def stabilizer_emit_gated_fn(params: StabilizerParams, state: StabilizerState,
 def stabilizer_step_metrics_fn(params: StabilizerParams,
                                state: StabilizerState,
                                frame_u8: jnp.ndarray,
+                               redetect_tick=None,
                                ) -> tuple[StabilizerState, jnp.ndarray,
                                           jnp.ndarray, dict]:
     """Combined step returning the analysis metrics as device arrays too
     (n_tracked / n_inliers / estimate_ok / transform). Consumers must NOT
-    sync these per frame — fetch them at reporting cadence only."""
-    state, metrics = stabilizer_analyze_step_fn(params, state, frame_u8)
+    sync these per frame — fetch them at reporting cadence only.
+    redetect_tick: see stabilizer_analyze_step_fn (vmapped callers)."""
+    state, metrics = stabilizer_analyze_step_fn(
+        params, state, frame_u8, redetect_tick=redetect_tick)
     state, out, ready = stabilizer_emit_gated_fn(params, state)
     metrics["envelope_exceeded"] = state.envelope_exceeded
     return state, out, ready, metrics
@@ -632,15 +643,17 @@ def stabilizer_step_metrics_fn(params: StabilizerParams,
 
 def stabilizer_step_fn(params: StabilizerParams, state: StabilizerState,
                        frame_u8: jnp.ndarray,
+                       redetect_tick=None,
                        ) -> tuple[StabilizerState, jnp.ndarray, jnp.ndarray]:
     """Steady-state combined step: analyze the incoming frame AND emit the
     oldest queued frame in one dispatch (one XLA program per frame — the
     production serving path). Emission is internally gated on the look-ahead
     queue (stabilizer_emit_gated_fn), so warm-up is handled in-graph:
     returns (state, frame, ready) where `ready` is False until the queue
-    holds effective_radius frames (the emitted frame is then meaningless)."""
+    holds effective_radius frames (the emitted frame is then meaningless).
+    redetect_tick: see stabilizer_analyze_step_fn (vmapped callers)."""
     state, out, ready, _metrics = stabilizer_step_metrics_fn(
-        params, state, frame_u8)
+        params, state, frame_u8, redetect_tick=redetect_tick)
     return state, out, ready
 
 

@@ -109,7 +109,12 @@ class MultiStreamStabilizer:
             jax.vmap(functools.partial(stabilizer_init_step_fn, p)),
             donate_argnums=0)
         self._step_b = jax.jit(
-            jax.vmap(functools.partial(stabilizer_step_metrics_fn, p)),
+            # redetect_tick rides UNBATCHED (in_axes None): the shared
+            # step counter keeps the redetect lax.cond's predicate scalar
+            # — a batched predicate would run GFTT every frame for every
+            # stream (vmap lowers batched conds to both-branches+select).
+            jax.vmap(functools.partial(stabilizer_step_metrics_fn, p),
+                     in_axes=(0, 0, None)),
             donate_argnums=0)
         self._emit_b = jax.jit(
             jax.vmap(functools.partial(stabilizer_emit_gated_fn, p)),
@@ -145,7 +150,8 @@ class MultiStreamStabilizer:
             self._frames_in[:] = 1
             return None
         self._state, out, _ready, self.last_metrics = self._step_b(
-            self._state, fdev)
+            self._state, fdev,
+            jnp.int32(int(self._frames_in.max())))
         self._frames_in += 1
         ready = (self._frames_in - self._emitted) >= \
             self.params.effective_radius
