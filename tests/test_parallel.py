@@ -52,3 +52,36 @@ class TestMultiStream:
             assert ms.last_valid[[0, 1, 3]].all()
         assert invalid_ticks == SMALL.effective_radius - 1
         assert ms.last_valid.all()
+
+    def test_batched_matches_single_stream(self, jittered_clip):
+        """The vmapped batched step (with the unbatched redetect tick)
+        must reproduce the single-stream behavior for lockstep streams.
+        RANSAC keys differ per stream (seed + i, independent streams) and
+        cross-program rounding can flip borderline inliers, so the
+        equivalence is behavioral — the recovered corrections agree to a
+        fraction of a pixel on featureful content — not bitwise."""
+        from video_stab_tpu.core.stabilizer import Stabilizer
+
+        frames, _ = jittered_clip
+        frames = frames[:14]
+        p = StabilizerParams(smoothing_radius=5, analysis_width=128,
+                             analysis_height=96, max_corners=64,
+                             ransac_hypotheses=64)
+        single = Stabilizer(p)
+        singles = [o for f in frames
+                   if (o := single.stabilize(f)) is not None]
+
+        ms = MultiStreamStabilizer(p, n_streams=2)
+        batched = []
+        for f in frames:
+            out = ms.stabilize_batch(np.stack([f, f]))
+            if out is not None and ms.last_valid.all():
+                batched.append(out)
+        assert len(batched) == len(singles)
+        for s, b in zip(singles, batched):
+            mad0 = np.abs(s.astype(np.float32) - b[0].astype(np.float32)
+                          )[8:-8, 8:-8].mean()
+            mad01 = np.abs(b[0].astype(np.float32)
+                           - b[1].astype(np.float32))[8:-8, 8:-8].mean()
+            assert mad0 < 6.0, mad0
+            assert mad01 < 6.0, mad01
