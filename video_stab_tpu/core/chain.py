@@ -93,11 +93,16 @@ class ChainParams(NamedTuple):
 
     @property
     def aux_envelope_deg(self) -> float:
-        """Static bound on the smoothed roll angle: the estimator's EMA
-        moves toward a detected angle inside the acceptance band and
-        decays toward zero otherwise, so |alpha| never leaves the band."""
-        return max(abs(self.roll.angle_filter_min),
-                   abs(self.roll.angle_filter_max))
+        """Static budget for the composed roll rotation: the smoothed
+        angle never leaves the acceptance band (EMA toward an in-band
+        target, decay otherwise), CAPPED at 15 deg — the warp's tap
+        tables and pads scale with sin(envelope), and a wide-open band
+        (the reference config ships angle_filter_max: 70) would explode
+        them ~40x for angles no stabilized camera sustains. Corrections
+        beyond the cap degrade (clamped warp) and trip the
+        envelope_exceeded counter instead of costing every frame."""
+        return min(15.0, max(abs(self.roll.angle_filter_min),
+                             abs(self.roll.angle_filter_max)))
 
     @property
     def stabilizer_eff(self) -> StabilizerParams:
