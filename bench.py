@@ -354,6 +354,29 @@ def main():
     import sys
 
     t_start = time.perf_counter()
+
+    # Probe backend liveness in a SUBPROCESS with a hard timeout first:
+    # when the axon tunnel is fully down, jax.devices() in this process
+    # would hang past any driver deadline and no bench artifact would
+    # exist at all. Emit an explicit tpu_unavailable record instead.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=240)
+        probe_ok = probe.returncode == 0 and probe.stdout.strip()
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "stabilized_fps_1080p", "value": None,
+            "unit": "frames/sec/chip", "vs_baseline": None,
+            "tpu_unavailable": True,
+            "note": "accelerator backend failed to initialize within 240 s"
+                    " (axon tunnel down); see prior in-round bench runs",
+        }))
+        return
+
     import jax
 
     def budget_left():
