@@ -176,6 +176,99 @@ class TestRTSPPacketRelay:
             os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
 
 
+class TestUdpRtpTransport:
+    """UDP unicast RTP (VERDICT r3 #7): server SETUP client_port/
+    server_port + client-side datagram depacketization with
+    drop-to-next-IDR loss handling."""
+
+    def test_udp_packet_roundtrip_byte_identical(self, h264_file):
+        import time
+
+        from video_stab_tpu.io.packets import PacketSource, RtspPacketSource
+        from video_stab_tpu.io.rtsp import RTSPServer
+
+        srv = RTSPServer(port=18895, mount="/udp", fps=30).start()
+        src = RtspPacketSource("rtsp://127.0.0.1:18895/udp",
+                               transport="udp").start()
+        time.sleep(0.3)
+        feed = PacketSource(h264_file)
+        sent = []
+        while (au := feed.read()) is not None:
+            srv.push_packet(au)
+            sent.append(au)
+            time.sleep(0.005)       # pace: loopback UDP buffers are finite
+        feed.stop()
+        got = []
+        while (au := src.read(timeout=2.0)) is not None:
+            got.append(au)
+        assert src.units_dropped == 0
+        src.stop()
+        srv.close()
+
+        def strip(n):
+            for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+                if n.startswith(sc):
+                    return n[len(sc):]
+            return n
+
+        # Keyframes exceed the 1400-byte UDP payload cap, so this also
+        # proves FU-A fragmentation + reassembly over datagrams.
+        assert any(len(strip(n)) > 1400 for au in sent for n in au)
+        sent_p = [strip(n) for au in sent for n in au]
+        recv_p = [strip(n) for au in got for n in au]
+        assert recv_p == sent_p
+
+    def test_udp_loss_resyncs_at_idr(self, h264_file):
+        """A sequence gap (simulated loss) must drop the broken unit and
+        hold emission until the next IDR — never hand the decoder a
+        mid-GOP slice after loss."""
+        from video_stab_tpu.io.packets import PacketSource, RtspPacketSource
+        from video_stab_tpu.io.rtsp import packetize_h264
+
+        feed = PacketSource(h264_file)
+        aus = []
+        while (au := feed.read()) is not None:
+            aus.append(au)
+        feed.stop()
+        assert len(aus) >= 10
+
+        src = RtspPacketSource("rtsp://unused/", transport="udp")
+        on_packet, finish = src._make_depacketizer()
+        seq = 0
+        for i, au in enumerate(aus):
+            packets, seq = packetize_h264(au, 90000 * i, seq, 7,
+                                          max_payload=1400)
+            if i == 3:
+                packets = packets[:-1]   # lose the unit's tail packet
+                seq += 0                 # (seq already advanced by pack)
+            for p in packets:
+                on_packet(p)
+        finish()
+        got = []
+        while (au := src._queue.get_nowait()) is not None:
+            got.append(au)
+        assert src.units_dropped >= 1
+
+        def has_idr(au):
+            return any(vcodec.nal_type(n) == 5 for n in au)
+
+        def strip(n):
+            for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+                if n.startswith(sc):
+                    return n[len(sc):]
+            return n
+
+        def payloads(units):
+            return [[strip(n) for n in au] for au in units]
+
+        # Units 0..2 arrive; unit 3 is dropped; 4+ are held until the next
+        # IDR — emission must resume exactly there, skipping every mid-GOP
+        # unit after the loss.
+        next_idr = next(i for i in range(4, len(aus)) if has_idr(aus[i]))
+        assert payloads(got) == payloads(aus[:3] + aus[next_idr:]), (
+            len(got), next_idr, len(aus))
+
+
 class TestAppPacketGraph:
     """Compressed passthrough INSIDE the managed app graph (VERDICT r2 #1):
     StabilizerApp routes access units through lossless packet channels; the
@@ -278,6 +371,67 @@ class TestAppPacketGraph:
         dec = vcodec.VideoDecoder()
         frames = 0
         src = PacketSource(out_path)
+        while (au := src.read()) is not None:
+            frames += len(dec.decode(b"".join(au)))
+        frames += len(dec.flush())
+        dec.close()
+        assert frames >= 15, frames
+
+    @pytest.fixture()
+    def hevc_gop12_small(self, tmp_path):
+        """HEVC twin of h264_gop12_small: short-gop elementary stream for
+        mid-stream processing switches on an H.265 camera."""
+        path = str(tmp_path / "gop12.h265")
+        enc = vcodec.VideoEncoder(128, 96, 30, bitrate_bps=400_000,
+                                  codec="libx265", gop=12)
+        yy, xx = np.mgrid[0:96, 0:128]
+        with open(path, "wb") as f:
+            for i in range(60):
+                base = ((yy + xx + 4 * i) % 256).astype(np.uint8)
+                f.write(enc.encode(np.stack([base, base, 255 - base], -1)))
+            f.write(enc.flush())
+        enc.close()
+        return path
+
+    def test_app_hevc_processing_reencodes_hevc(self, hevc_gop12_small,
+                                                tmp_path):
+        """An HEVC source relayed through the packet graph must stay HEVC
+        after switch_processing(): the re-encode branch emits the codec the
+        sink announces (ADVICE r3 — PacketEncoderBridge used to pin H.264,
+        handing HEVC clients undecodable NALs)."""
+        import time
+
+        from video_stab_tpu.io import codec as vcodec2
+        from video_stab_tpu.io.packets import PacketSource
+
+        out_path = str(tmp_path / "app_hevc.h265")
+        app = self._app(hevc_gop12_small, out_path, stabilizer_enabled=True)
+        assert app.packet_mode
+        assert app._pkt_encoder.codec == "libx265"
+        app.switch_passthrough()
+        app.graph.start()
+        deadline = time.time() + 20
+        while app.sink.units_written < 10 and time.time() < deadline:
+            time.sleep(0.05)
+        assert not app.decoder_constructed
+        app.switch_processing()
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if app.source._eof and app._pkt_encoder.units_out and \
+                    app.graph.pipeline("processing").frames_processed:
+                time.sleep(1.0)
+                break
+            time.sleep(0.1)
+        app.stop()
+        assert app.decoder_constructed
+        assert app._pkt_encoder.units_out > 0
+        # The WHOLE output (relayed prefix + re-encoded tail) must decode
+        # as one HEVC stream — an H.264 tail would fail here.
+        from video_stab_tpu.io.packets import open_packet_source
+        dec = vcodec2.VideoDecoder("hevc")
+        frames = 0
+        src = open_packet_source(out_path)
+        assert src.codec_name == "hevc"
         while (au := src.read()) is not None:
             frames += len(dec.decode(b"".join(au)))
         frames += len(dec.flush())

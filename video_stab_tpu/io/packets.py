@@ -25,6 +25,7 @@ output pipeline re-points between the compressed "source_pkt" channel
 from __future__ import annotations
 
 import queue
+import socket
 import threading
 import time
 from typing import Callable, Iterator, List, Optional
@@ -250,6 +251,30 @@ class ContainerPacketSource:
             self._demux = None
 
 
+def _bind_udp_pair(max_tries: int = 64):
+    """Bind an (RTP, RTCP) UDP socket pair on consecutive even/odd ports
+    (RFC 3550 §11). Returns (rtp_sock, rtcp_sock, rtp_port)."""
+    for _ in range(max_tries):
+        rtp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            rtp.bind(("0.0.0.0", 0))
+            port = rtp.getsockname()[1]
+            if port % 2:                # need the even port of a pair
+                rtp.close()
+                continue
+            rtcp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            try:
+                rtcp.bind(("0.0.0.0", port + 1))
+            except OSError:
+                rtp.close()
+                rtcp.close()
+                continue
+            return rtp, rtcp, port
+        except OSError:
+            rtp.close()
+    raise OSError("could not bind an RTP/RTCP UDP port pair")
+
+
 class RtspPacketSource:
     """Live RTSP/RTP *client* at the packet level — the rtspsrc->
     rtph264depay->h264parse head of the reference's compressed ingest
@@ -263,12 +288,16 @@ class RtspPacketSource:
     """
 
     def __init__(self, url: str, queue_size: int = 256,
-                 timeout: float = 10.0, logging: bool = False):
+                 timeout: float = 10.0, logging: bool = False,
+                 transport: str = "tcp"):
         self.url = url
         self.timeout = timeout
+        self.transport = transport      # "tcp" (interleaved) | "udp"
         self.log = get_logger("RtspPacketSource", logging)
         self._sock = None
         self._file = None
+        self._udp_sock = None           # RTP receive socket (udp mode)
+        self._udp_rtcp_sock = None
         self._cseq = 0
         self._session: Optional[str] = None
         self._sprop_nals: List[bytes] = []      # SPS/PPS from the SDP
@@ -278,6 +307,8 @@ class RtspPacketSource:
         self._wlock = threading.Lock()
         self.codec_name = "h264"        # from the SDP rtpmap (h264 | hevc)
         self.units_read = 0
+        self.units_dropped = 0          # overflow drops (see emit_au)
+        self._drop_resync = False       # held until the next IDR after one
 
     # -- RTSP control ------------------------------------------------------
     def _request(self, method: str, url: str, extra: dict = {}) -> dict:
@@ -355,17 +386,51 @@ class RtspPacketSource:
                             pass
         setup_url = control if control.startswith("rtsp://") \
             else self.url.rstrip("/") + "/" + control
-        resp = self._request(
-            "SETUP", setup_url,
-            {"Transport": "RTP/AVP/TCP;unicast;interleaved=0-1"})
+        if self.transport == "udp":
+            # Bind an RTP/RTCP port pair (even/odd, RFC 3550 convention);
+            # control stays on the TCP connection.
+            rtp, rtcp, port = _bind_udp_pair()
+            self._udp_sock, self._udp_rtcp_sock = rtp, rtcp
+            resp = self._request(
+                "SETUP", setup_url,
+                {"Transport": f"RTP/AVP;unicast;"
+                              f"client_port={port}-{port + 1}"})
+            # Hole-punch toward server_port so stateful firewalls/NAT open
+            # the return path (what rtspsrc/ffmpeg do).
+            tr = resp.get("transport", "")
+            if "server_port=" in tr:
+                try:
+                    sp = int(tr.split("server_port=")[1]
+                             .split(";")[0].split("-")[0])
+                    shost = u.hostname or "127.0.0.1"
+                    rtp.sendto(b"\x00", (shost, sp))
+                except (ValueError, OSError):
+                    pass
+        else:
+            resp = self._request(
+                "SETUP", setup_url,
+                {"Transport": "RTP/AVP/TCP;unicast;interleaved=0-1"})
         self._session = resp.get("session", "").split(";")[0]
         self._request("PLAY", self.url, {"Range": "npt=0.000-"})
 
-    # -- RTP depacketization (RFC 6184) ------------------------------------
-    def _rtp_loop(self) -> None:
+    # -- RTP depacketization (RFC 6184 / 7798) ------------------------------
+    def _make_depacketizer(self):
+        """Shared RTP-packet -> access-unit state machine for both
+        transports. Returns (on_packet, finish): on_packet takes one full
+        RTP packet (header included) and may enqueue completed access
+        units; finish flushes and posts the EOF sentinel. UDP loss
+        (sequence gap) drops the partial unit and holds emission until the
+        next IDR — the packet graph's resume-at-IDR contract."""
         au: List[bytes] = []
         fu_buf: Optional[bytearray] = None
         sprop_pending = list(self._sprop_nals)
+        expect_seq: Optional[int] = None
+
+        def is_irap(n):
+            if self.codec_name == "hevc":
+                raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n[3:]
+                return raw and 16 <= ((raw[0] >> 1) & 0x3F) <= 21
+            return nal_type(n) == 5
 
         def emit_au():
             nonlocal au, sprop_pending
@@ -378,15 +443,119 @@ class RtspPacketSource:
                     return raw and ((raw[0] >> 1) & 0x3F) in (32, 33, 34)
                 return nal_type(n) in (7, 8)
 
+            # After an overflow drop the decode chain is broken mid-GOP:
+            # hold further units until the next IDR/IRAP so the consumer
+            # resumes on a clean random-access point (the packet graph's
+            # own resync contract) instead of feeding undecodable slices.
+            if self._drop_resync:
+                if not any(is_irap(n) for n in au):
+                    au = []
+                    return
+                self._drop_resync = False
             if sprop_pending and not any(is_ps(n) for n in au):
                 au = sprop_pending + au     # out-of-band VPS/SPS/PPS, once
             sprop_pending = []
             try:
                 self._queue.put(au, timeout=1.0)
             except queue.Full:
-                self.log.info("packet queue full; dropping access unit")
+                self.units_dropped += 1
+                self._drop_resync = True
+                self.log.warning(
+                    "packet queue full; dropped access unit #%d — holding "
+                    "until the next IDR (consumer too slow / stalled)",
+                    self.units_dropped)
             au = []
 
+        def on_packet(payload: bytes) -> None:
+            nonlocal au, fu_buf, expect_seq
+            if len(payload) < 13:
+                return
+            v_p_x_cc = payload[0]
+            if (v_p_x_cc >> 6) != 2:            # not RTP v2 (e.g. RTCP)
+                return
+            marker = bool(payload[1] & 0x80)
+            seq = int.from_bytes(payload[2:4], "big")
+            if expect_seq is not None and seq != expect_seq:
+                # UDP loss/reorder: the unit under assembly is broken —
+                # drop it and hold until the next IDR.
+                au = []
+                fu_buf = None
+                self.units_dropped += 1
+                self._drop_resync = True
+            expect_seq = (seq + 1) & 0xFFFF
+            cc = v_p_x_cc & 0x0F
+            off = 12 + 4 * cc
+            if v_p_x_cc & 0x10:     # extension header
+                if len(payload) < off + 4:
+                    return
+                ext_len = int.from_bytes(payload[off + 2:off + 4], "big")
+                off += 4 + 4 * ext_len
+            data = payload[off:]
+            if not data:
+                return
+            if self.codec_name == "hevc":    # RFC 7798
+                ntype = (data[0] >> 1) & 0x3F
+                if ntype == 48:             # AP aggregation
+                    p = 2
+                    while p + 2 <= len(data):
+                        sz = int.from_bytes(data[p:p + 2], "big")
+                        p += 2
+                        if sz == 0 or p + sz > len(data):
+                            break
+                        au.append(b"\x00\x00\x00\x01"
+                                  + data[p:p + sz])
+                        p += sz
+                elif ntype == 49 and len(data) >= 3:    # FU
+                    fu_header = data[2]
+                    if fu_header & 0x80:    # start
+                        h0 = (data[0] & 0x81) | ((fu_header & 0x3F) << 1)
+                        fu_buf = bytearray(
+                            b"\x00\x00\x00\x01"
+                            + bytes([h0, data[1]]))
+                    if fu_buf is not None:
+                        fu_buf += data[3:]
+                        if fu_header & 0x40:
+                            au.append(bytes(fu_buf))
+                            fu_buf = None
+                elif ntype < 48:            # single NAL unit
+                    au.append(b"\x00\x00\x00\x01" + data)
+            else:                            # RFC 6184 H.264
+                ntype = data[0] & 0x1F
+                if 1 <= ntype <= 23:        # single NAL unit
+                    au.append(b"\x00\x00\x00\x01" + data)
+                elif ntype == 24:           # STAP-A aggregation
+                    p = 1
+                    while p + 2 <= len(data):
+                        sz = int.from_bytes(data[p:p + 2], "big")
+                        p += 2
+                        if sz == 0 or p + sz > len(data):
+                            break
+                        au.append(b"\x00\x00\x00\x01"
+                                  + data[p:p + sz])
+                        p += sz
+                elif ntype == 28 and len(data) >= 2:   # FU-A
+                    fu_header = data[1]
+                    if fu_header & 0x80:    # start
+                        nal_hdr = (data[0] & 0xE0) | (fu_header & 0x1F)
+                        fu_buf = bytearray(
+                            b"\x00\x00\x00\x01" + bytes([nal_hdr]))
+                    if fu_buf is not None:
+                        fu_buf += data[2:]
+                        if fu_header & 0x40:    # end
+                            au.append(bytes(fu_buf))
+                            fu_buf = None
+            if marker:
+                emit_au()
+
+        def finish() -> None:
+            emit_au()
+            self._queue.put(None)       # EOF sentinel
+
+        return on_packet, finish
+
+    def _rtp_loop(self) -> None:
+        """TCP-interleaved receive loop (RFC 2326 §10.12)."""
+        on_packet, finish = self._make_depacketizer()
         try:
             while not self._stop_evt.is_set():
                 first = self._file.read(1)
@@ -412,78 +581,45 @@ class RtspPacketSource:
                     break
                 channel, ln = hdr[0], int.from_bytes(hdr[1:3], "big")
                 payload = self._file.read(ln)
-                if len(payload) < ln or channel != 0 or ln < 13:
-                    continue            # RTCP (ch 1) or short packet
-                v_p_x_cc = payload[0]
-                marker = bool(payload[1] & 0x80)
-                cc = v_p_x_cc & 0x0F
-                off = 12 + 4 * cc
-                if v_p_x_cc & 0x10:     # extension header
-                    if len(payload) < off + 4:
-                        continue
-                    ext_len = int.from_bytes(payload[off + 2:off + 4], "big")
-                    off += 4 + 4 * ext_len
-                data = payload[off:]
-                if not data:
-                    continue
-                if self.codec_name == "hevc":    # RFC 7798
-                    ntype = (data[0] >> 1) & 0x3F
-                    if ntype == 48:             # AP aggregation
-                        p = 2
-                        while p + 2 <= len(data):
-                            sz = int.from_bytes(data[p:p + 2], "big")
-                            p += 2
-                            if sz == 0 or p + sz > len(data):
-                                break
-                            au.append(b"\x00\x00\x00\x01"
-                                      + data[p:p + sz])
-                            p += sz
-                    elif ntype == 49 and len(data) >= 3:    # FU
-                        fu_header = data[2]
-                        if fu_header & 0x80:    # start
-                            h0 = (data[0] & 0x81) | ((fu_header & 0x3F) << 1)
-                            fu_buf = bytearray(
-                                b"\x00\x00\x00\x01"
-                                + bytes([h0, data[1]]))
-                        if fu_buf is not None:
-                            fu_buf += data[3:]
-                            if fu_header & 0x40:
-                                au.append(bytes(fu_buf))
-                                fu_buf = None
-                    elif ntype < 48:            # single NAL unit
-                        au.append(b"\x00\x00\x00\x01" + data)
-                else:                            # RFC 6184 H.264
-                    ntype = data[0] & 0x1F
-                    if 1 <= ntype <= 23:        # single NAL unit
-                        au.append(b"\x00\x00\x00\x01" + data)
-                    elif ntype == 24:           # STAP-A aggregation
-                        p = 1
-                        while p + 2 <= len(data):
-                            sz = int.from_bytes(data[p:p + 2], "big")
-                            p += 2
-                            if sz == 0 or p + sz > len(data):
-                                break
-                            au.append(b"\x00\x00\x00\x01"
-                                      + data[p:p + sz])
-                            p += sz
-                    elif ntype == 28 and len(data) >= 2:   # FU-A
-                        fu_header = data[1]
-                        if fu_header & 0x80:    # start
-                            nal_hdr = (data[0] & 0xE0) | (fu_header & 0x1F)
-                            fu_buf = bytearray(
-                                b"\x00\x00\x00\x01" + bytes([nal_hdr]))
-                        if fu_buf is not None:
-                            fu_buf += data[2:]
-                            if fu_header & 0x40:    # end
-                                au.append(bytes(fu_buf))
-                                fu_buf = None
-                if marker:
-                    emit_au()
+                if len(payload) < ln or channel != 0:
+                    continue            # RTCP (ch 1) or short read
+                on_packet(payload)
         except OSError:
             pass
         finally:
-            emit_au()
-            self._queue.put(None)       # EOF sentinel
+            finish()
+
+    def _udp_loop(self) -> None:
+        """UDP unicast receive loop (the reference stack's default
+        transport — rtspsrc/gst-rtsp-server, src/RTSPServer.cpp:79-92).
+        Each datagram is one whole RTP packet; loss shows up as sequence
+        gaps handled by the depacketizer (drop-to-next-IDR). Also drains
+        the interleaved TCP control channel so keepalive replies don't
+        stall the server."""
+        on_packet, finish = self._make_depacketizer()
+
+        def control_drain():
+            try:
+                while not self._stop_evt.is_set():
+                    if not self._file.read(1):
+                        break
+            except OSError:
+                pass
+
+        threading.Thread(target=control_drain, daemon=True,
+                         name="rtsp-control-drain").start()
+        self._udp_sock.settimeout(0.5)
+        try:
+            while not self._stop_evt.is_set():
+                try:
+                    payload, _addr = self._udp_sock.recvfrom(65536)
+                except socket.timeout:
+                    continue
+                on_packet(payload)
+        except OSError:
+            pass
+        finally:
+            finish()
 
     def _keepalive_loop(self) -> None:
         """Periodic GET_PARAMETER (RFC 2326 keepalive): real servers tear
@@ -503,7 +639,8 @@ class RtspPacketSource:
     # -- PacketSource surface ----------------------------------------------
     def start(self) -> "RtspPacketSource":
         self._connect()
-        self._thread = threading.Thread(target=self._rtp_loop, daemon=True,
+        loop = self._udp_loop if self.transport == "udp" else self._rtp_loop
+        self._thread = threading.Thread(target=loop, daemon=True,
                                         name="rtsp-packet-source")
         self._thread.start()
         threading.Thread(target=self._keepalive_loop, daemon=True,
@@ -540,19 +677,34 @@ class RtspPacketSource:
                 self._sock.close()
         except OSError:
             pass
+        for s in (self._udp_sock, self._udp_rtcp_sock):
+            if s is not None:
+                try:
+                    s.close()
+                except OSError:
+                    pass
         if self._thread is not None:
             self._thread.join(timeout=2.0)
             self._thread = None
 
 
 class PacketEncoderBridge:
-    """Frame -> packet bridge: re-encodes processed BGR frames into H.264
+    """Frame -> packet bridge: re-encodes processed BGR frames into
     access units (the appsrc->x264enc->interpipesink 'processed-out'
-    pipeline, examples/vsg.cpp:487-497). Lazy like the decoder bridge."""
+    pipeline, examples/vsg.cpp:487-497). Lazy like the decoder bridge.
 
-    def __init__(self, fps: int = 30, bitrate_kbps: int = 0):
+    ``codec`` must match what the downstream sink announces (SDP rtpmap /
+    container codec id): an HEVC-announcing sink fed H.264 NALs hands
+    every client an undecodable stream. Accepts 'h264'/'h265'/'hevc' or a
+    libavcodec encoder name."""
+
+    _CODEC_LIB = {"h264": "libx264", "h265": "libx265", "hevc": "libx265"}
+
+    def __init__(self, fps: int = 30, bitrate_kbps: int = 0,
+                 codec: str = "h264"):
         self.fps = fps
         self.bitrate_kbps = bitrate_kbps
+        self.codec = self._CODEC_LIB.get(codec, codec)
         self._encoder = None
         self.units_out = 0
 
@@ -565,7 +717,7 @@ class PacketEncoderBridge:
             bps = (self.bitrate_kbps * 1000 or
                    bitrate_bps_app(w, h, self.fps))
             self._encoder = VideoEncoder(w, h, self.fps, bitrate_bps=bps,
-                                         zerolatency=True)
+                                         codec=self.codec, zerolatency=True)
         data = self._encoder.encode(frame)
         if not data:
             return None
@@ -851,6 +1003,17 @@ def open_packet_sink(target: str, fps: float = 30.0,
         from video_stab_tpu.io.rtsp import RTSPServer
         rest = target[len("rtsp://"):]
         host_port, _, mount = rest.partition("/")
+        host = host_port.rsplit(":", 1)[0] if ":" in host_port else host_port
+        if host not in ("", "localhost", "127.0.0.1", "0.0.0.0", "::1"):
+            # The reference tail is rtspclientsink (a PUSH client to an
+            # external server, GstdManager.cpp:213-229); this framework
+            # SERVES the stream itself. A remote hostname here would
+            # silently bind locally — warn loudly (ADVICE r3).
+            get_logger("PacketSink", True).warning(
+                "rtsp sink target host %r is not local; serving LOCALLY "
+                "on port %s — point clients at this machine, not %r",
+                host, host_port.rsplit(":", 1)[-1] if ":" in host_port
+                else 8554, host)
         port = int(host_port.rsplit(":", 1)[-1]) if ":" in host_port \
             else 8554
         server = RTSPServer(port=port, mount="/" + (mount or "stream"),

@@ -97,12 +97,12 @@ class StabilizerApp:
         from video_stab_tpu.io.codec import available
         src = self.cfg.video_source
         out = self.cfg.output_source
-        src_ok = (src.endswith((".h264", ".264"))
+        src_ok = (src.endswith((".h264", ".264", ".h265", ".265", ".hevc"))
                   or src.endswith((".mp4", ".m4v", ".mkv", ".mov"))
                   or src.startswith("rtsp://"))
         out_ok = (not out or out == "null"
-                  or out.endswith((".h264", ".264", ".mp4", ".m4v",
-                                   ".mkv", ".mov"))
+                  or out.endswith((".h264", ".264", ".h265", ".265", ".hevc",
+                                   ".mp4", ".m4v", ".mkv", ".mov"))
                   or out.startswith("rtsp://"))
         return src_ok and out_ok and available("libx264")
 
@@ -150,11 +150,13 @@ class StabilizerApp:
         if hasattr(self.source, "start"):
             self.source.start()
         src_codec = getattr(self.source, "codec_name", "") or "h264"
+        sink_codec = "h265" if src_codec in ("hevc", "h265") else "h264"
         self.sink = open_packet_sink(
-            self.cfg.output_source, fps=fps,
-            codec="h265" if src_codec == "hevc" else "h264")
+            self.cfg.output_source, fps=fps, codec=sink_codec)
         self._pkt_decoder = PacketDecoderBridge()
-        self._pkt_encoder = PacketEncoderBridge(fps=fps)
+        # The re-encode branch must emit the codec the sink announces —
+        # processed HEVC stays HEVC end to end (ADVICE r3).
+        self._pkt_encoder = PacketEncoderBridge(fps=fps, codec=sink_codec)
         self._pkt_wait_idr = True
         self._pkt_active = self._initial_route() == "processed"
         # Lossless ordered channels (Channel depth > 1): dropping an access
