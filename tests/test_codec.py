@@ -207,6 +207,47 @@ class TestRTSP:
             server.close()
             os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
 
+    def test_rtsp_serves_udp_to_cv2_client(self):
+        """UDP unicast transport (VERDICT r3 #7 — the reference stack's
+        default, src/RTSPServer.cpp:79-92): an ffmpeg/cv2 client with
+        rtsp_transport=udp negotiates SETUP client_port and decodes the
+        datagram stream."""
+        import cv2
+
+        from video_stab_tpu.io.rtsp import RTSPServer
+        server = RTSPServer(port=18557, mount="/stream", fps=30).start()
+        clip = make_clip(600, h=240, w=320)
+        stop = threading.Event()
+
+        def pusher():
+            i = 0
+            while not stop.is_set():
+                server.push_frame(clip[i % len(clip)])
+                i += 1
+                time.sleep(1 / 60)
+        t = threading.Thread(target=pusher, daemon=True)
+        t.start()
+        try:
+            os.environ["OPENCV_FFMPEG_CAPTURE_OPTIONS"] = \
+                "rtsp_transport;udp"
+            cap = cv2.VideoCapture(
+                "rtsp://127.0.0.1:18557/stream", cv2.CAP_FFMPEG)
+            assert cap.isOpened()
+            got = 0
+            deadline = time.time() + 20
+            while got < 10 and time.time() < deadline:
+                ok, frame = cap.read()
+                if ok:
+                    assert frame.shape == (240, 320, 3)
+                    got += 1
+            cap.release()
+            assert got >= 10, f"only {got} frames decoded over UDP"
+        finally:
+            stop.set()
+            t.join(timeout=5)
+            server.close()
+            os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
+
     def test_packetizer_fua_roundtrip(self):
         """FU-A fragmentation: a NAL bigger than the payload limit splits
         into valid fragments that reassemble to the original."""

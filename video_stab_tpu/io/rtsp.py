@@ -14,10 +14,11 @@ Feature map (reference file:line -> here):
 - RTSPServer.cpp:163-214 pushFrame(cv::Mat) w/ wall-clock PTS -> push_frame
   with a 90 kHz RTP clock derived from the nominal fps.
 
-Transport: RTSP/1.0 with TCP-interleaved RTP (RFC 2326 §10.12) only — the
-deterministic, firewall-friendly mode every client supports
-(ffmpeg/cv2: ``rtsp_transport=tcp``; VLC: ``--rtsp-tcp``). UDP adds nothing
-on localhost/LAN serving and a lot of loss-handling surface.
+Transport: RTSP/1.0 with TCP-interleaved RTP (RFC 2326 §10.12) AND UDP
+unicast (SETUP client_port/server_port — the reference GStreamer stack's
+default transport, src/RTSPServer.cpp:79-92). UDP loss handling is
+drop-to-next-IDR on the client side (sequence-gap detection in
+io/packets.RtspPacketSource); no RTCP beyond session keepalive.
 
 RTP payload: RFC 6184 H.264 — single-NAL-unit packets, FU-A fragmentation
 for NALs above the interleaved 16-bit frame limit. codec="h265" serves
@@ -63,7 +64,8 @@ def hevc_nal_type(nal: bytes) -> int:
 
 
 def packetize_h265(nals: List[bytes], timestamp: int, seq: int,
-                   ssrc: int) -> Tuple[List[bytes], int]:
+                   ssrc: int, max_payload: int = MAX_RTP_PAYLOAD
+                   ) -> Tuple[List[bytes], int]:
     """RFC 7798 HEVC packetization: single-NAL-unit packets, FU (type 49)
     fragmentation. Marker on the access unit's last packet."""
     payloads: List[bytes] = []
@@ -71,7 +73,7 @@ def packetize_h265(nals: List[bytes], timestamp: int, seq: int,
         raw = _strip_start_code(nal)
         if len(raw) < 2:
             continue
-        if len(raw) <= MAX_RTP_PAYLOAD:
+        if len(raw) <= max_payload:
             payloads.append(raw)
         else:                           # FU (RFC 7798 §4.4.3)
             ntype = (raw[0] >> 1) & 0x3F
@@ -80,10 +82,10 @@ def packetize_h265(nals: List[bytes], timestamp: int, seq: int,
             ph1 = raw[1]
             rest = raw[2:]
             n = len(rest)
-            for off in range(0, n, MAX_RTP_PAYLOAD):
-                chunk = rest[off:off + MAX_RTP_PAYLOAD]
+            for off in range(0, n, max_payload):
+                chunk = rest[off:off + max_payload]
                 s_bit = 0x80 if off == 0 else 0
-                e_bit = 0x40 if off + MAX_RTP_PAYLOAD >= n else 0
+                e_bit = 0x40 if off + max_payload >= n else 0
                 fu_header = s_bit | e_bit | ntype
                 payloads.append(bytes([ph0, ph1, fu_header]) + chunk)
     packets = []
@@ -97,10 +99,11 @@ def packetize_h265(nals: List[bytes], timestamp: int, seq: int,
 
 
 def packetize_h264(nals: List[bytes], timestamp: int, seq: int,
-                   ssrc: int) -> Tuple[List[bytes], int]:
+                   ssrc: int, max_payload: int = MAX_RTP_PAYLOAD
+                   ) -> Tuple[List[bytes], int]:
     """RFC 6184 packetization: one access unit's NALs -> RTP packets.
 
-    Single-NAL-unit mode per NAL; FU-A when a NAL exceeds MAX_RTP_PAYLOAD.
+    Single-NAL-unit mode per NAL; FU-A when a NAL exceeds max_payload.
     The marker bit is set on the last packet of the access unit. Returns
     (packets, next_seq).
     """
@@ -109,17 +112,17 @@ def packetize_h264(nals: List[bytes], timestamp: int, seq: int,
         raw = _strip_start_code(nal)
         if not raw:
             continue
-        if len(raw) <= MAX_RTP_PAYLOAD:
+        if len(raw) <= max_payload:
             payloads.append(raw)
         else:   # FU-A (RFC 6184 §5.8)
             header = raw[0]
             indicator = (header & 0xE0) | 28
             rest = raw[1:]
             n = len(rest)
-            for off in range(0, n, MAX_RTP_PAYLOAD):
-                chunk = rest[off:off + MAX_RTP_PAYLOAD]
+            for off in range(0, n, max_payload):
+                chunk = rest[off:off + max_payload]
                 s = 0x80 if off == 0 else 0
-                e = 0x40 if off + MAX_RTP_PAYLOAD >= n else 0
+                e = 0x40 if off + max_payload >= n else 0
                 fu_header = s | e | (header & 0x1F)
                 payloads.append(bytes([indicator, fu_header]) + chunk)
     packets = []
@@ -133,13 +136,23 @@ def packetize_h264(nals: List[bytes], timestamp: int, seq: int,
 
 
 class _Session:
-    """One RTSP client connection in PLAY state."""
+    """One RTSP client connection in PLAY state (TCP-interleaved or UDP
+    unicast — the reference stack's default transport, rtspsrc /
+    gst-rtsp-server, src/RTSPServer.cpp:79-92)."""
+
+    # UDP RTP packets must fit one MTU-ish datagram; TCP-interleaved
+    # frames are bounded only by the 16-bit length field.
+    UDP_MAX_PAYLOAD = 1400
 
     def __init__(self, sock: socket.socket, session_id: str, channel: int,
-                 wlock: Optional[threading.Lock] = None):
+                 wlock: Optional[threading.Lock] = None,
+                 udp_sock: Optional[socket.socket] = None,
+                 udp_addr: Optional[Tuple[str, int]] = None):
         self.sock = sock
         self.session_id = session_id
         self.channel = channel      # interleaved channel for RTP
+        self.udp_sock = udp_sock    # server-owned send socket (udp mode)
+        self.udp_addr = udp_addr    # (client_host, client_rtp_port)
         self.seq = secrets.randbelow(1 << 16)
         self.ssrc = secrets.randbelow(1 << 32)
         self.playing = False
@@ -154,6 +167,15 @@ class _Session:
     def send_access_unit(self, nals: List[bytes], timestamp: int,
                          codec: str = "h264") -> None:
         pack = packetize_h265 if codec == "h265" else packetize_h264
+        if self.udp_addr is not None:
+            packets, self.seq = pack(nals, timestamp, self.seq, self.ssrc,
+                                     max_payload=self.UDP_MAX_PAYLOAD)
+            try:
+                for p in packets:
+                    self.udp_sock.sendto(p, self.udp_addr)
+            except OSError:
+                self.dead = True
+            return
         packets, self.seq = pack(nals, timestamp, self.seq, self.ssrc)
         try:
             with self.lock:
@@ -189,6 +211,16 @@ class RTSPServer(FrameSink):
         self._ts = secrets.randbelow(1 << 31)
         self._force_key = False
         self.frames_pushed = 0
+        self._udp_sock: Optional[socket.socket] = None   # shared RTP send
+        self._udp_rtcp_sock: Optional[socket.socket] = None
+
+    def _ensure_udp_socket(self) -> socket.socket:
+        """Lazily bind the shared UDP RTP send socket (+ its RTCP twin so
+        the advertised server_port pair really is ours)."""
+        if self._udp_sock is None:
+            from video_stab_tpu.io.packets import _bind_udp_pair
+            self._udp_sock, self._udp_rtcp_sock, _ = _bind_udp_pair()
+        return self._udp_sock
 
     # -- sink API -----------------------------------------------------------
     def push_frame(self, frame: np.ndarray) -> None:
@@ -356,7 +388,35 @@ class RTSPServer(FrameSink):
                 "Content-Type": "application/sdp"}, body, wlock=wlock)
         elif method == "SETUP":
             transport = headers.get("transport", "")
-            if "TCP" not in transport.upper():
+            tr_up = transport.upper()
+            if "TCP" not in tr_up and "client_port=" in transport:
+                # UDP unicast (the reference's default transport,
+                # src/RTSPServer.cpp:79-92): send RTP datagrams to the
+                # client's announced port from a shared server socket.
+                try:
+                    cport = int(transport.split("client_port=")[1]
+                                .split(";")[0].split("-")[0])
+                except ValueError:
+                    self._reply(sock, cseq, wlock=wlock,
+                                status="461 Unsupported Transport")
+                    return session
+                udp_sock = self._ensure_udp_socket()
+                sport = udp_sock.getsockname()[1]
+                chost = sock.getpeername()[0]
+                sid = secrets.token_hex(8)
+                session = _Session(sock, sid, 0, wlock=wlock,
+                                   udp_sock=udp_sock,
+                                   udp_addr=(chost, cport))
+                with self._slock:
+                    self._sessions[sid] = session
+                self._reply(sock, cseq, {
+                    "Transport": (f"RTP/AVP;unicast;"
+                                  f"client_port={cport}-{cport + 1};"
+                                  f"server_port={sport}-{sport + 1};"
+                                  f"ssrc={session.ssrc:08X}"),
+                    "Session": sid}, wlock=wlock)
+                return session
+            if "TCP" not in tr_up:
                 self._reply(sock, cseq, wlock=wlock,
                             status="461 Unsupported Transport")
                 return session
@@ -436,6 +496,13 @@ class RTSPServer(FrameSink):
         if self._encoder is not None:
             self._encoder.close()
             self._encoder = None
+        for s in (self._udp_sock, self._udp_rtcp_sock):
+            if s is not None:
+                try:
+                    s.close()
+                except OSError:
+                    pass
+        self._udp_sock = self._udp_rtcp_sock = None
 
 
 _CLOSE = object()   # sentinel: connection should close
