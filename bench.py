@@ -87,9 +87,9 @@ def _bench_scan(h, w, k, n_iters, smoothing_radius=15, n_streams=1):
         smoothing_radius=smoothing_radius,
         # vmapped conds run both branches; pick single-branch variants
         # for the batched config (see pallas/warp.py / ops/features.py).
-        # warp tier selection is in-kernel data now (vmap-clean); only
-        # GFTT's lax.cond guards still need the single-branch variant.
-        gftt_topk="flat" if n_streams > 1 else "auto")
+        # warp tier selection is in-kernel data now (vmap-clean); GFTT's
+        # single-branch variant is the cond-free staged extraction.
+        gftt_topk="staged" if n_streams > 1 else "auto")
     assert k >= params.effective_radius + 1
     # The pool is a jit ARGUMENT (device-resident across calls), not a
     # closed-over constant: baked-in multi-MB constants blow past the
@@ -297,6 +297,98 @@ def _bench_dispatch(h, w, n_iters, smoothing_radius=15, mode="compute"):
     return n_iters / dt, dt / n_iters * 1e3
 
 
+def _bench_end_to_end(h, w, n_frames=240, fps_in=30):
+    """TRUE end-to-end serving rate: H.264 decode (native libavcodec) ->
+    fused chain on device -> H.264 encode, threads overlapping host decode
+    / device compute / host encode (the reference's full loop,
+    CamCap.cpp:141-256 + vsg.cpp:1246-1313, which it runs at 30 fps with
+    50-100 ms latency — README_GSTD_INTERPIPE.md:158).
+
+    Returns (fps_end_to_end, ms_per_frame). fps counts frames DELIVERED to
+    the encoder (n_frames - warmup look-ahead) over the wall-clock from
+    first decode to last encoded byte."""
+    import os
+    import queue
+    import tempfile
+    import threading
+
+    from video_stab_tpu.core.chain import ProcessingChain
+    from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                            RollCorrectionParams,
+                                            StabilizerParams)
+    from video_stab_tpu.io.codec import VideoDecoder, VideoEncoder
+    from video_stab_tpu.io.packets import PacketSource
+    from video_stab_tpu.io.sinks import bitrate_bps_app
+
+    bps = bitrate_bps_app(w, h, fps_in)
+    pool = _make_pool(h, w, n=8)
+
+    clip = os.path.join(tempfile.gettempdir(), f"bench_e2e_{h}p.h264")
+    enc0 = VideoEncoder(w, h, fps_in, bitrate_bps=bps, gop=30,
+                        zerolatency=True)
+    with open(clip, "wb") as f:
+        for i in range(n_frames):
+            f.write(enc0.encode(pool[i % len(pool)]))
+        f.write(enc0.flush())
+    enc0.close()
+
+    chain = ProcessingChain(
+        ModeParams(enhancer_enabled=True, roll_correction_enabled=True,
+                   stabilizer_enabled=True),
+        EnhancerParams(), RollCorrectionParams(),
+        StabilizerParams(smoothing_radius=15), pipelined=True)
+
+    q_in: "queue.Queue" = queue.Queue(maxsize=8)
+    q_out: "queue.Queue" = queue.Queue(maxsize=8)
+    enc_bytes = [0]
+
+    def decode_loop():
+        dec = VideoDecoder()
+        src = PacketSource(clip)
+        while (au := src.read()) is not None:
+            for fr in dec.decode(b"".join(au)):
+                q_in.put(fr)
+        for fr in dec.flush():
+            q_in.put(fr)
+        dec.close()
+        src.stop()
+        q_in.put(None)
+
+    def encode_loop():
+        enc = VideoEncoder(w, h, fps_in, bitrate_bps=bps, zerolatency=True)
+        while (fr := q_out.get()) is not None:
+            enc_bytes[0] += len(enc.encode(np.ascontiguousarray(fr)))
+        enc_bytes[0] += len(enc.flush())
+        enc.close()
+
+    td = threading.Thread(target=decode_loop, daemon=True)
+    te = threading.Thread(target=encode_loop, daemon=True)
+    delivered = 0
+    t0 = time.perf_counter()
+    td.start()
+    te.start()
+    while (fr := q_in.get()) is not None:
+        out = chain.process(fr[:, :, :3])
+        if out is not None:
+            q_out.put(out)
+            delivered += 1
+    tail = chain.drain()
+    if tail is not None:
+        q_out.put(tail)
+        delivered += 1
+    q_out.put(None)
+    te.join()
+    td.join()
+    dt = time.perf_counter() - t0
+    try:
+        os.unlink(clip)
+    except OSError:
+        pass
+    if delivered == 0:
+        return None, None
+    return delivered / dt, dt / delivered * 1e3
+
+
 def _transfer_gbps():
     """Host<->device bandwidth probe - flags degraded-tunnel runs.
 
@@ -343,6 +435,8 @@ def _run_config(name: str, iters: int):
         fps, ms = _bench_scan(1080, 1920, SCAN_K_MULTI, iters, n_streams=8)
     elif name == "chain":
         fps, ms = _bench_scan_chain(1080, 1920, SCAN_K_CHAIN, iters)
+    elif name == "e2e":
+        fps, ms = _bench_end_to_end(1080, 1920, n_frames=120 * iters)
     else:
         raise SystemExit(f"unknown config {name}")
     print(json.dumps({"config": name, "fps": fps, "ms": ms}), flush=True)
@@ -464,6 +558,19 @@ def main():
         ms_dispatch = None
         fps_del = None
 
+    # True end-to-end serving rate (decode -> device chain -> encode),
+    # VERDICT r3 #4. The chain program is already compiled (the "chain"
+    # child shares the persistent cache for CPU-lowered pieces, but the
+    # per-frame chain step may still compile remotely — keep it last and
+    # budget-guarded). Tunnel-bound windows shorten the clip.
+    fps_e2e = ms_e2e = None
+    if budget_left() > 120:
+        try:
+            fps_e2e, ms_e2e = _bench_end_to_end(
+                1080, 1920, n_frames=60 if latency_tunnel_bound else 240)
+        except Exception:
+            pass
+
     out = {
         "metric": "stabilized_fps_1080p",
         "value": round(fps_1080, 2) if fps_1080 else None,
@@ -481,6 +588,9 @@ def main():
             round(ms_dispatch, 3) if ms_dispatch else None),
         "fps_1080p_delivered_to_host": (round(fps_del, 2)
                                         if fps_del else None),
+        "fps_1080p_end_to_end": round(fps_e2e, 2) if fps_e2e else None,
+        "ms_per_frame_1080p_end_to_end": (round(ms_e2e, 3)
+                                          if ms_e2e else None),
         "latency_tunnel_bound": latency_tunnel_bound,
         "platform": platform,
         "host_to_device_gbps": up_gbps,

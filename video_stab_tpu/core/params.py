@@ -74,8 +74,9 @@ class StabilizerParams:
     warp_branch: str = "auto"
     # GFTT candidate extraction: "auto" = exact two-stage top_k with an
     # in-graph guard (lax.cond) falling back to the flat top_k; "flat"
-    # forces the flat path — again the right choice under vmap (the
-    # batched-predicate guard would run both).
+    # forces the flat path; "staged" = cond-free single-branch two-stage
+    # (statistically exact) — the right choice under vmap, where a
+    # batched-predicate guard would run both branches (ops/features.py).
     gftt_topk: str = "auto"
 
     smoothing_method: str = "box"    # box | gaussian | kalman

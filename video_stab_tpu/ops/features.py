@@ -100,6 +100,24 @@ def good_features_to_track(
     flat = cand.reshape(-1)
     if topk == "flat" or h * ROW_BUDGET < n_cand or w <= ROW_BUDGET:
         top_vals, top_idx = jax.lax.top_k(flat, n_cand)
+    elif topk == "staged":
+        # VMAP-CLEAN single-branch variant (no lax.cond anywhere): the
+        # exact two-stage extraction at the FULL n_cand budget, without
+        # the flat-top_k fallback guard. Inexact only when some row holds
+        # more than ROW_BUDGET candidates above the global n_cand-th
+        # value; each candidate dropped then is dominated by >= ROW_BUDGET
+        # stronger same-row candidates, most of which the min-distance NMS
+        # would have used to suppress it anyway — a bounded, redetect-only
+        # deviation that batched serving accepts in exchange for not
+        # running both cond branches under vmap (cost measured: 0.65 ms
+        # flat vs ~0.47 ms staged per stream per redetect tick at
+        # 960x540; DESIGN.md 5c).
+        rv, ri = jax.lax.top_k(cand, ROW_BUDGET)          # (h, B)
+        flat_v = rv.reshape(-1)
+        flat_i = (jnp.arange(h, dtype=jnp.int32)[:, None] * w
+                  + ri).reshape(-1)
+        top_vals, stage2 = jax.lax.top_k(flat_v, n_cand)
+        top_idx = flat_i[stage2]
     else:
         rv, ri = jax.lax.top_k(cand, ROW_BUDGET)          # (h, B)
         flat_v = rv.reshape(-1)

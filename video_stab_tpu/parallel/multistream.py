@@ -85,12 +85,14 @@ class MultiStreamStabilizer:
         if params.gftt_topk == "auto":
             # vmap lowers batched-predicate lax.conds (the GFTT fallback
             # guards) to both-branches + select; pick the single-branch
-            # variant here. The WARP no longer needs this: its tap-table
-            # tier is data (a prefetched per-stream scalar branched on
-            # inside the kernel), so warp_branch="auto" vmaps cleanly
-            # with per-stream table selection.
+            # "staged" variant here — two-stage candidate extraction with
+            # no cond anywhere (~0.47 ms vs 0.65 ms flat per redetect
+            # tick, ops/features.py). The WARP doesn't need this: its
+            # tap-table tier is data (a prefetched per-stream scalar
+            # branched on inside the kernel), so warp_branch="auto" vmaps
+            # cleanly with per-stream table selection.
             import dataclasses
-            params = dataclasses.replace(params, gftt_topk="flat")
+            params = dataclasses.replace(params, gftt_topk="staged")
         self.params = params
         self.n_streams = n_streams
         self.mesh = mesh
