@@ -286,3 +286,56 @@ class TestFusedRollChain:
         assert not cp(enable_virtual_canvas=True).roll_fusion_active
         # derived budget follows the acceptance band
         assert cp().aux_envelope_deg == 10.0
+
+    def test_wide_roll_band_falls_back_to_exact_warp(self):
+        """A wide-open acceptance band (the reference ships
+        angle_filter_max: 70) must NOT run the fused path with a clamped
+        envelope (ADVICE r3): fusion auto-disables and the two-pass roll
+        warp is the exact gather warp, so a sustained 25-deg tilt is
+        corrected faithfully."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from video_stab_tpu.core.chain import ChainParams, chain_state_init
+        from video_stab_tpu.core.chain import _pre_stages
+        from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                                StabilizerParams)
+        from video_stab_tpu.core.rollcorrection import RollState
+        from video_stab_tpu.ops.warp import (BORDER_REPLICATE, warp_affine,
+                                             rotation_matrix_2d)
+
+        mode = ModeParams(enhancer_enabled=False,
+                          roll_correction_enabled=True,
+                          stabilizer_enabled=True)
+        roll = dataclasses.replace(RollCorrectionParams(),
+                                   angle_filter_min=-70.0,
+                                   angle_filter_max=70.0)
+        cp = ChainParams(mode=mode, enhancer=EnhancerParams(), roll=roll,
+                         stabilizer=StabilizerParams(
+                             analysis_width=64, analysis_height=48,
+                             max_corners=16, ransac_hypotheses=16))
+        assert not cp.roll_fusion_active         # wide band -> two-pass
+        assert cp.roll_band_deg == 70.0
+
+        # Drive _pre_stages with a pinned 25-deg smoothed angle: the warp
+        # must match the exact gather-warp oracle (no envelope clamping).
+        # The frame is smooth (gradients far below the Canny thresholds)
+        # so the estimator finds no lines and takes the decay path.
+        h, w = 96, 128
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (40.0 + yy * 0.7 + xx * 0.5 +
+                25.0 * np.sin(2 * np.pi * xx / 40.0) *
+                np.sin(2 * np.pi * yy / 32.0))
+        frame = np.stack([base, base * 0.9, 230.0 - base * 0.8],
+                         -1).astype(np.uint8)
+        state = chain_state_init(cp, h, w)
+        pinned = state._replace(roll=RollState(
+            smoothed_angle=jnp.float32(25.0)))
+        _, out_u8 = _pre_stages(cp, pinned, jnp.asarray(frame))
+        ang = 25.0 * float(cp.roll.angle_decay)   # decay tick, no lines
+        oracle = warp_affine(jnp.asarray(frame, jnp.float32),
+                             rotation_matrix_2d(w / 2.0, h / 2.0, ang),
+                             border_mode=BORDER_REPLICATE)
+        d = np.abs(np.asarray(out_u8, np.float32) - np.asarray(oracle))
+        assert d.max() <= 1.0, d.max()

@@ -50,6 +50,7 @@ from video_stab_tpu.ops.color import saturate_u8
 from video_stab_tpu.ops.warp import (
     BORDER_REPLICATE,
     rotation_matrix_2d,
+    warp_affine,
     warp_affine_fast,
 )
 
@@ -77,32 +78,45 @@ class ChainParams(NamedTuple):
     # (border_pad > 0).
     fuse_roll: bool = True
 
+    # Max composed-roll envelope the fused emit warp budgets for: its tap
+    # tables and pads scale with sin(envelope), and a wide-open acceptance
+    # band (the reference config ships angle_filter_max: 70) would explode
+    # them ~40x for angles no stabilized camera sustains.
+    AUX_ENVELOPE_CAP_DEG = 15.0
+
+    @property
+    def roll_band_deg(self) -> float:
+        """The configured roll acceptance band (uncapped): the smoothed
+        angle never leaves it (EMA toward an in-band target, decay
+        otherwise — RollCorrection.cpp:124-136)."""
+        return max(abs(self.roll.angle_filter_min),
+                   abs(self.roll.angle_filter_max))
+
     @property
     def roll_fusion_active(self) -> bool:
         # border_pad excluded: border construction (fade blend, replicate
         # ring, crop+zoom) happens on the QUEUED frame, and composing the
         # roll rotation afterwards would rotate the border ring into the
         # interior — only the two-pass order expresses those configs.
+        # Wide acceptance bands (> AUX_ENVELOPE_CAP_DEG) also fall back to
+        # the two-pass order with an EXACT gather warp (ADVICE r3):
+        # sustained tilt beyond the envelope must be corrected faithfully,
+        # not clamped to a degraded warp.
         return (self.fuse_roll
                 and self.mode.roll_correction_enabled
                 and self.mode.stabilizer_enabled
                 and not self.azc.enabled
                 and self.stabilizer.motion_model != "homography"
                 and not self.stabilizer.enable_virtual_canvas
-                and self.stabilizer.border_pad == 0)
+                and self.stabilizer.border_pad == 0
+                and self.roll_band_deg <= self.AUX_ENVELOPE_CAP_DEG)
 
     @property
     def aux_envelope_deg(self) -> float:
-        """Static budget for the composed roll rotation: the smoothed
-        angle never leaves the acceptance band (EMA toward an in-band
-        target, decay otherwise), CAPPED at 15 deg — the warp's tap
-        tables and pads scale with sin(envelope), and a wide-open band
-        (the reference config ships angle_filter_max: 70) would explode
-        them ~40x for angles no stabilized camera sustains. Corrections
-        beyond the cap degrade (clamped warp) and trip the
-        envelope_exceeded counter instead of costing every frame."""
-        return min(15.0, max(abs(self.roll.angle_filter_min),
-                             abs(self.roll.angle_filter_max)))
+        """Static budget for the composed roll rotation. Capped at
+        AUX_ENVELOPE_CAP_DEG; bands beyond the cap never reach the fused
+        path (roll_fusion_active is False for them)."""
+        return min(self.AUX_ENVELOPE_CAP_DEG, self.roll_band_deg)
 
     @property
     def stabilizer_eff(self) -> StabilizerParams:
@@ -139,12 +153,18 @@ def _pre_stages(params: ChainParams, state: ChainState,
         h, w = f.shape[:2]
         roll_state = estimate_roll_angle(params.roll, roll_state, f)
         rot = rotation_matrix_2d(w / 2.0, h / 2.0, roll_state.smoothed_angle)
-        # Roll angles stay inside the acceptance band (RollCorrection.cpp
-        # 124-136); tiled warp = exact bilinear at ~8x the gather speed.
-        f = warp_affine_fast(f, rot, border_mode=BORDER_REPLICATE,
-                             max_angle_deg=max(12.0,
-                                               params.aux_envelope_deg),
-                             max_shift=128)
+        if params.roll_band_deg <= params.AUX_ENVELOPE_CAP_DEG:
+            # Roll angles stay inside the acceptance band (RollCorrection.cpp
+            # 124-136); tiled warp = exact bilinear at ~8x the gather speed.
+            f = warp_affine_fast(f, rot, border_mode=BORDER_REPLICATE,
+                                 max_angle_deg=max(12.0,
+                                                   params.aux_envelope_deg),
+                                 max_shift=128)
+        else:
+            # Wide-open band (reference ships angle_filter_max: 70): the
+            # tiled warp's envelope would explode; take the exact gather
+            # warp so sustained large tilts are corrected, not clamped.
+            f = warp_affine(f, rot, border_mode=BORDER_REPLICATE)
         if params.azc.enabled:
             # Remove the rotation's black corners before stabilization
             # (roll-correction-file.cpp:61-68); input size kept static.
