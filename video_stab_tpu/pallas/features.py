@@ -108,7 +108,7 @@ def corner_response(gray: jnp.ndarray, block_size: int = 3, aperture: int = 3,
     resp, peak = pl.pallas_call(
         functools.partial(_corner_kernel, scale=scale, n_tiles=n_tiles),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec((TILE_H, pw), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((TILE_H, pw), lambda i: (i, 0),
