@@ -448,6 +448,17 @@ def main():
     import sys
 
     t_start = time.perf_counter()
+    # Wall-clock epoch of the ORIGINAL bench process: survives the
+    # single-tier-fallback re-exec so the retried run can shrink its
+    # budget to what's left of the driver's outer timeout instead of
+    # restarting a full DEADLINE_S (which would overrun it silently).
+    wall0 = float(os.environ.get("VSTAB_BENCH_START", "0") or 0.0)
+    if wall0:
+        elapsed = time.time() - wall0
+        deadline_s = max(240.0, min(DEADLINE_S, 1300.0 - elapsed))
+    else:
+        wall0 = time.time()
+        deadline_s = float(DEADLINE_S)
 
     # Probe backend liveness in a SUBPROCESS with a hard timeout first:
     # when the axon tunnel is fully down, jax.devices() in this process
@@ -462,19 +473,31 @@ def main():
     except subprocess.TimeoutExpired:
         probe_ok = False
     if not probe_ok:
-        print(json.dumps({
+        # Embed the last in-round TPU measurement (with its provenance) so
+        # an outage round still records labeled numbers instead of bare
+        # nulls (VERDICT r3 #1/#2). BENCH_INROUND.json is updated whenever
+        # an in-round bench runs on the real chip.
+        record = {
             "metric": "stabilized_fps_1080p", "value": None,
             "unit": "frames/sec/chip", "vs_baseline": None,
             "tpu_unavailable": True,
             "note": "accelerator backend failed to initialize within 240 s"
-                    " (axon tunnel down); see prior in-round bench runs",
-        }))
+                    " (axon tunnel down); last_in_round carries the most"
+                    " recent real-chip measurement with its commit",
+        }
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCH_INROUND.json")) as f:
+                record["last_in_round"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(record))
         return
 
     import jax
 
     def budget_left():
-        return DEADLINE_S - (time.perf_counter() - t_start)
+        return deadline_s - (time.perf_counter() - t_start)
 
     platform = jax.devices()[0].platform
 
@@ -503,7 +526,24 @@ def main():
     degraded = min(up_gbps, down_gbps) < 2.0
     iters = 2 if degraded else 4
 
-    fps_1080, ms_1080 = _bench_scan(1080, 1920, SCAN_K_1080, iters)
+    try:
+        fps_1080, ms_1080 = _bench_scan(1080, 1920, SCAN_K_1080, iters)
+    except Exception as e:
+        # Mosaic compile failure on the headline program (e.g. the tier-
+        # cascade warp kernel rejected by a backend change): fall back to
+        # the single-tier full-envelope kernel — structurally identical to
+        # the round-3 TPU-validated kernel — by re-execing the whole bench
+        # with the escape hatch set (trace caches are per-process, so a
+        # fresh process is the only clean way to retrace every caller).
+        if os.environ.get("VSTAB_WARP_SINGLE_TIER") == "1":
+            raise                       # already on the fallback: real bug
+        sys.stderr.write(f"headline bench failed ({type(e).__name__}: "
+                         f"{e}); retrying with VSTAB_WARP_SINGLE_TIER=1\n")
+        for p in procs.values():
+            p.terminate()
+        env = dict(os.environ, VSTAB_WARP_SINGLE_TIER="1",
+                   VSTAB_BENCH_START=repr(wall0))
+        os.execve(sys.executable, [sys.executable, here], env)
 
     results = {}
     while procs and budget_left() > 0:
@@ -592,6 +632,8 @@ def main():
         "ms_per_frame_1080p_end_to_end": (round(ms_e2e, 3)
                                           if ms_e2e else None),
         "latency_tunnel_bound": latency_tunnel_bound,
+        "warp_single_tier_fallback": (
+            os.environ.get("VSTAB_WARP_SINGLE_TIER") == "1"),
         "platform": platform,
         "host_to_device_gbps": up_gbps,
         "device_to_host_gbps": down_gbps,

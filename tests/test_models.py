@@ -51,6 +51,27 @@ class TestTrackerAssociation:
         assert len(tr._tracks) == 0
         tr.release()
 
+    def test_id_coasts_through_detection_gap(self):
+        """The association contract behind occlusion survival: a track
+        with an established velocity coasts (Kalman predict) through a
+        detection gap shorter than max_lost_age and re-associates by IoU
+        at the predicted position — same id, no new track minted."""
+        tr = self._tracker()
+        tid = None
+        for t in range(6):                       # establish velocity 3px/f
+            out = tr._associate([Detection(0, 0.9,
+                                           (10 + 3 * t, 20, 24, 16))])
+            tid = out[0].track_id
+        gap = tr.params.max_lost_age - 2
+        for _ in range(gap):                     # full occlusion
+            tr._associate([])
+        assert len(tr._tracks) == 1              # still coasting
+        x = 10 + 3 * (6 + gap)                   # where the object is now
+        out = tr._associate([Detection(0, 0.9, (x, 20, 24, 16))])
+        assert len(out) == 1
+        assert out[0].track_id == tid, (out[0].track_id, tid)
+        tr.release()
+
     def test_pick_id_at(self):
         tr = self._tracker()
         dets = tr._associate([Detection(0, 0.9, (10, 10, 20, 20))])
@@ -238,6 +259,49 @@ class TestPhotographicGates:
                               background="photo")
         assert m["recall"] >= 0.6, m
         assert m["precision"] >= 0.5, m
+
+    def test_id_survives_occlusion_on_photographic_pan(self, bundled):
+        """A car drives behind a pole band mid-clip (photographic pan
+        backdrop): the tracker must coast through the occlusion
+        (max_lost_age) and keep ONE identity across it — the NvDCF
+        contract the reference relies on (DeepStreamTracker.h:46-52)."""
+        from video_stab_tpu.models.detector import (bundled_weights_path,
+                                                    load_detector)
+        from video_stab_tpu.models.scenes import render_clip
+        from video_stab_tpu.models.tracker import (ObjectTracker,
+                                                   TrackerParams)
+
+        rng = np.random.default_rng(123)
+        frames, gt = render_clip(rng, n_frames=48, h=192, w=320,
+                                 n_objects=1, classes=(0,),
+                                 background="photo", pan_px_per_frame=1.0,
+                                 occluder=True)
+        # The occluder must actually blank some mid-clip ground truth.
+        missing = [t for t, b in enumerate(gt) if not b]
+        assert missing and 0 < min(missing) and max(missing) < 47, missing
+        tracker = ObjectTracker(
+            TrackerParams(processing_width=320, processing_height=192,
+                          confidence_threshold=0.35, min_hits=2,
+                          max_lost_age=30),    # NvDCF shadow-tracking age
+            async_mode=False)
+        _, tracker._dp = load_detector(bundled_weights_path(),
+                                       height=192, width=320)
+        per_frame_ids = []
+        for f in frames:
+            per_frame_ids.append([d.track_id
+                                  for d in tracker.process_frame(f)])
+        tracker.release()
+        pre = [i for t in range(min(missing)) for i in per_frame_ids[t]]
+        post = [i for t in range(max(missing) + 1, len(frames))
+                for i in per_frame_ids[t]]
+        assert pre and post, (pre, post)
+        # The identity that tracked the car INTO the occlusion must be
+        # re-associated (Kalman coast + IoU) when it re-emerges — the
+        # occlusion itself must not mint a new identity. (Later id churn
+        # from partial-occlusion detector noise is the detector's
+        # problem, not the association contract under test.)
+        dom_pre = int(np.bincount(pre).argmax())
+        assert dom_pre in set(post), (dom_pre, sorted(set(post)))
 
     def test_stable_track_ids_on_photographic_pan(self, bundled):
         from video_stab_tpu.models.detector import (bundled_weights_path,

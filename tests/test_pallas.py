@@ -218,6 +218,39 @@ class TestWarpKernelBranches:
         # interior ties: (0+1)/2 = 0.5 -> round-half-even -> 0
         assert (out[:, 2:-2] == 0).all(), np.unique(out[:, 2:-2])
 
+    def test_single_tier_escape_hatch(self, monkeypatch):
+        """VSTAB_WARP_SINGLE_TIER=1 forces the full-envelope single-tier
+        kernel (no in-kernel pl.when tier branch) — bench.py's
+        Mosaic-compile-failure fallback, structurally the round-3
+        TPU-validated kernel. Both paths compute exact bilinear; they
+        may differ only at f32 .5-tie pixels (different tap counts
+        change the accumulation order)."""
+        from video_stab_tpu.ops.warp import warp_affine
+        from video_stab_tpu.pallas.warp import warp_affine_u8
+        rng = np.random.default_rng(17)
+        img = jnp.asarray(rng.integers(0, 255, (40, 140, 3), dtype=np.uint8))
+        ang = np.radians(0.8)               # small angle -> tiered path
+        m = jnp.array([[np.cos(ang), -np.sin(ang), 1.1],
+                       [np.sin(ang), np.cos(ang), -0.6]], jnp.float32)
+        ref = np.asarray(warp_affine(img.astype(jnp.float32), m))
+        ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.int64)
+        near_tie = np.abs(ref - np.floor(ref) - 0.5) < 1e-3
+        tiered = np.asarray(warp_affine_u8(img, m, interpret=True))
+        # The env check happens at TRACE time (the wrapper is jit-cached),
+        # hence bench.py re-execs on fallback; here a cache clear forces
+        # the retrace the fresh process would get.
+        monkeypatch.setenv("VSTAB_WARP_SINGLE_TIER", "1")
+        warp_affine_u8.clear_cache()
+        try:
+            single = np.asarray(warp_affine_u8(img, m, interpret=True))
+        finally:
+            warp_affine_u8.clear_cache()   # don't leak single-tier traces
+        for out in (tiered, single):
+            d = np.abs(out.astype(np.int64) - ref_u8)
+            assert d[~near_tie].max() == 0, d[~near_tie].max()
+            assert d.max() <= 1, d.max()
+        assert np.array_equal(tiered[~near_tie], single[~near_tie])
+
 
 class TestWarpHomographyKernel:
     """pallas/warp.warp_homography_u8 — projective strip kernel parity vs

@@ -1,0 +1,50 @@
+#!/bin/bash
+# One-shot TPU-window validation sequence. Run (in the background, logged)
+# the moment the axon tunnel returns; every step logs under /tmp/tpu_window
+# so the results survive a dead session. Order matters:
+#   1. warp_probe  — first real Mosaic compile of the tier-table-in-kernel
+#                    warp (commit 7db3e64). Expect ~0.55-0.6 ms/warp
+#                    (round-3 validated single-tier: 0.5985 ms @ 5adc53f).
+#                    If the COMPILE fails, revert to the cond cascade
+#                    (git revert 7db3e64) before benching.
+#   2. profile_step — per-stage step breakdown (regression scan).
+#   3. bench.py     — the official-artifact program: 1080p headline + 4K /
+#                     multi / chain children + p50 + delivered + e2e.
+# First compiles go through the remote AOT service: minutes each.
+set -u
+mkdir -p /tmp/tpu_window
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 90 env JAX_PLATFORMS=axon python -c \
+    "import jax; print(jax.devices())" >/dev/null 2>&1
+}
+
+if ! probe; then
+  echo "tunnel still down" | tee /tmp/tpu_window/status
+  exit 1
+fi
+echo "tunnel up $(date -u +%H:%M:%S)" | tee /tmp/tpu_window/status
+
+timeout 1800 python tools/warp_probe.py \
+  > /tmp/tpu_window/warp_probe.log 2>&1
+rc=$?
+echo "warp_probe rc=$rc" | tee -a /tmp/tpu_window/status
+tail -5 /tmp/tpu_window/warp_probe.log
+
+if [ $rc -ne 0 ]; then
+  echo "WARP PROBE FAILED — inspect log; if Mosaic compile error:" \
+       "git revert 7db3e64 and re-pin warp_branch=large (see memory" \
+       "tier-kernel-validation-pending)" | tee -a /tmp/tpu_window/status
+  exit 2
+fi
+
+timeout 1800 python tools/profile_step.py \
+  > /tmp/tpu_window/profile_step.log 2>&1
+echo "profile_step rc=$?" | tee -a /tmp/tpu_window/status
+tail -15 /tmp/tpu_window/profile_step.log
+
+timeout 1500 python bench.py > /tmp/tpu_window/bench.log 2>&1
+echo "bench rc=$?" | tee -a /tmp/tpu_window/status
+tail -2 /tmp/tpu_window/bench.log
+echo "done $(date -u +%H:%M:%S)" | tee -a /tmp/tpu_window/status

@@ -138,12 +138,16 @@ _PHOTO_CACHE: Optional[list] = None
 
 def photo_backgrounds() -> list:
     """Real photographs available OFFLINE from installed packages —
-    matplotlib's grace_hopper.jpg (a public-domain US Navy photograph) and
-    pygame's documentation webcam captures. Used to validate the learned
-    components on photographic (non-rendered) imagery (the reference's
-    TrafficCamNet default is a real-data model, DeepStreamTracker.h:46-52).
-    Returns a list of BGR uint8 images; empty when neither package ships
-    them."""
+    matplotlib's grace_hopper.jpg (a public-domain US Navy photograph),
+    pygame's documentation webcam captures and intro photos, scikit-learn's
+    sample photos (china.jpg — an outdoor architecture/street scene — and
+    flower.jpg), and labmaze's naturalistic skybox panoramas (12 horizon
+    faces across 3 sky sets — outdoor sky/cloud imagery). Used to validate
+    the learned components on photographic (non-rendered) imagery (the
+    reference's TrafficCamNet default is a real-data model,
+    DeepStreamTracker.h:46-52). Returns a list of BGR uint8 images
+    (~22 distinct backgrounds when all packages are present); empty when
+    no package ships them."""
     global _PHOTO_CACHE
     if _PHOTO_CACHE is not None:
         return _PHOTO_CACHE
@@ -162,11 +166,30 @@ def photo_backgrounds() -> list:
     try:
         os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
         import pygame
-        pat = os.path.join(os.path.dirname(pygame.__file__), "docs",
-                           "generated", "_images", "camera_*.jpg")
+        img_dir = os.path.join(os.path.dirname(pygame.__file__), "docs",
+                               "generated", "_images")
+        pat = os.path.join(img_dir, "camera_*.jpg")
         keep = ("rgb", "average", "background", "yuv", "hsv")
         paths += [p for p in sorted(glob.glob(pat))
                   if any(k in os.path.basename(p) for k in keep)]
+        paths += sorted(glob.glob(os.path.join(img_dir, "intro_*.jpg")))
+    except ImportError:
+        pass
+    try:
+        import sklearn.datasets
+        img_dir = os.path.join(os.path.dirname(sklearn.datasets.__file__),
+                               "images")
+        paths += sorted(glob.glob(os.path.join(img_dir, "*.jpg")))
+    except ImportError:
+        pass
+    try:
+        import labmaze.assets
+        asset_dir = os.path.dirname(labmaze.assets.__file__)
+        for sky in sorted(glob.glob(os.path.join(asset_dir, "sky_*"))):
+            # Horizon-facing skybox faces only (bk/ft/lf/rt): outdoor
+            # sky/cloud panoramas; dn/up are ground/zenith tiles.
+            paths += [os.path.join(sky, f + ".png")
+                      for f in ("bk", "ft", "lf", "rt")]
     except ImportError:
         pass
     imgs = []
@@ -241,11 +264,15 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
                 w: int = 320, n_objects: int = 2,
                 classes: Tuple[int, ...] = (0,),
                 background: str = "rendered",
-                pan_px_per_frame: float = 0.0):
+                pan_px_per_frame: float = 0.0,
+                occluder: bool = False):
     """A clip with objects moving at constant velocity — ground truth for
     tracker tests (stable IDs). Returns (frames, per-frame boxes).
     background="photo" uses a real photograph; pan_px_per_frame slides the
-    camera window across a wider backdrop (a photographic pan)."""
+    camera window across a wider backdrop (a photographic pan);
+    occluder=True plants a vertical pole band mid-scene (world coords)
+    drawn OVER the objects, so moving objects pass behind it and the
+    tracker must coast through the occlusion (max_lost_age semantics)."""
     import cv2
     base_rng = np.random.default_rng(int(rng.integers(0, 2 ** 31)))
     pan_total = int(abs(pan_px_per_frame) * n_frames + 0.5)
@@ -264,6 +291,18 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
         vx = float(rng.uniform(1.0, 2.5)) * (1 if going_right else -1)
         seed = int(rng.integers(0, 2 ** 31))
         objs.append([cls, cx, cy, vx, scale, seed])
+    # Plant the pole band (world coords) where the FIRST object will be at
+    # the clip midpoint, sized for a SHORT full occlusion (~4 frames at
+    # the object's world-crossing speed) — long enough that detections
+    # really drop, short enough that a coasting tracker (max_lost_age)
+    # can re-associate on re-emergence.
+    mid_t = n_frames // 2
+    pan_v = pan_px_per_frame if pan_px_per_frame > 0 else 0.0
+    occ_x = int(objs[0][1] + objs[0][3] * mid_t + pan_v * mid_t)
+    bw0 = 44 * objs[0][4]               # car body width at objs[0] scale
+    speed = abs(objs[0][3] + pan_v)
+    occ_w = int(bw0 * 0.5 + 4 * max(speed, 1.0))
+    occ_col = tuple(float(c) for c in base_rng.integers(35, 90, 3))
     frames, all_boxes = [], []
     for t in range(n_frames):
         win_x = int(pan_px_per_frame * t) if pan_px_per_frame > 0 else 0
@@ -275,8 +314,18 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
             if 20 < x - win_x < w - 20:
                 bbox = _DRAWERS[cls](img, obj_rng, x, cy, scale)
                 bx, by, bw_, bh_ = bbox
+                # Fully-occluded objects are no longer ground truth for
+                # that frame (the detector cannot see them).
+                if occluder and bx >= occ_x - occ_w // 2 - bw_ * 0.25 \
+                        and bx + bw_ <= occ_x + occ_w // 2 + bw_ * 0.25:
+                    continue
                 boxes.append((cls, float(bx - win_x), float(by),
                               float(bw_), float(bh_)))
+        if occluder:
+            cv2.rectangle(img, (occ_x - occ_w // 2, 0),
+                          (occ_x + occ_w // 2, h), occ_col, -1)
+            cv2.line(img, (occ_x, 0), (occ_x, h),
+                     tuple(c * 1.4 for c in occ_col), 2)
         img = img[:, win_x:win_x + w]
         img = img + base_rng.normal(0, 2, (h, w, 3))
         frames.append(np.clip(img, 0, 255).astype(np.uint8))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,16 @@ def _terms_from_slope(s: float) -> tuple[int, int]:
     ry = int(np.ceil(s * (TW - 1) + (s ** 2) * TH)) + 2
     rx = int(np.ceil(s * (TH - 1) + (s ** 2) * TW)) + 2
     return ry, rx
+
+
+def _single_tier_forced() -> bool:
+    """Escape hatch: VSTAB_WARP_SINGLE_TIER=1 forces the full-envelope
+    single-tier kernel (no in-kernel pl.when tier branch) in both warp
+    wrappers — byte-identical structure to the round-3 TPU-validated
+    kernel. Effective at PROCESS START (the jit trace cache is keyed on
+    static args only); bench.py re-execs itself with this set if the
+    tier-cascade kernel fails Mosaic compile."""
+    return os.environ.get("VSTAB_WARP_SINGLE_TIER", "") == "1"
 
 
 def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
@@ -140,39 +151,49 @@ def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
     # replaces the former lax.cond between whole pallas_calls, which a
     # vmapped caller lowered to running EVERY branch plus a select (the
     # reason multi-stream serving was pinned to the full-envelope table).
-    tier = tier_ref[0]
-    for ti, (ry_terms, rx_terms) in enumerate(tap_tables):
+    def _accumulate(ry_terms, rx_terms):
+        # Hoist the x-taps (shared across every ry term).
+        # Straight-line accumulation: a per-ry runtime skip (pl.when
+        # on max(wy)) measured 3.7x SLOWER — 34k vector-reduction
+        # branches flush the VPU pipeline; predictable MACs win.
+        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
+               for rx in range(rx_terms)]
+        # Materialize each lane-shifted slab view once (lane shifts
+        # cost more than sublane-offset slices; this turns ry*rx
+        # lane shifts into rx).
+        slabs_x = [slab[:, rx:rx + TW] for rx in range(rx_terms)]
+        acc = jnp.zeros((TH, TW), jnp.float32)
+        for ry in range(ry_terms):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
+            inner = jnp.zeros((TH, TW), jnp.float32)
+            for rx in range(rx_terms):
+                inner = inner + wxs[rx] * slabs_x[rx][ry:ry + TH]
+            acc = acc + wy * inner
 
-        @pl.when(tier == ti)
-        def _(ry_terms=ry_terms, rx_terms=rx_terms):
-            # Hoist the x-taps (shared across every ry term).
-            # Straight-line accumulation: a per-ry runtime skip (pl.when
-            # on max(wy)) measured 3.7x SLOWER — 34k vector-reduction
-            # branches flush the VPU pipeline; predictable MACs win.
-            wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(qx - (dx + rx)))
-                   for rx in range(rx_terms)]
-            # Materialize each lane-shifted slab view once (lane shifts
-            # cost more than sublane-offset slices; this turns ry*rx
-            # lane shifts into rx).
-            slabs_x = [slab[:, rx:rx + TW] for rx in range(rx_terms)]
-            acc = jnp.zeros((TH, TW), jnp.float32)
-            for ry in range(ry_terms):
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
-                inner = jnp.zeros((TH, TW), jnp.float32)
-                for rx in range(rx_terms):
-                    inner = inner + wxs[rx] * slabs_x[rx][ry:ry + TH]
-                acc = acc + wy * inner
+        # Round half-to-even (cv2 saturate_cast / jnp.round
+        # semantics), so TPU and CPU dispatch of warp_affine_fast
+        # agree bit-for-bit even on exact .5 bilinear ties
+        # (reachable with rational weights).
+        r = jnp.floor(acc + 0.5)
+        tie_odd = ((r - acc) == 0.5) \
+            & ((r * 0.5) != jnp.floor(r * 0.5))
+        r = jnp.where(tie_odd, r - 1.0, r)
+        out_ref[0] = jnp.clip(r, 0.0, 255.0).astype(
+            jnp.int32).astype(jnp.uint8)
 
-            # Round half-to-even (cv2 saturate_cast / jnp.round
-            # semantics), so TPU and CPU dispatch of warp_affine_fast
-            # agree bit-for-bit even on exact .5 bilinear ties
-            # (reachable with rational weights).
-            r = jnp.floor(acc + 0.5)
-            tie_odd = ((r - acc) == 0.5) \
-                & ((r * 0.5) != jnp.floor(r * 0.5))
-            r = jnp.where(tie_odd, r - 1.0, r)
-            out_ref[0] = jnp.clip(r, 0.0, 255.0).astype(
-                jnp.int32).astype(jnp.uint8)
+    if len(tap_tables) == 1:
+        # Single tier: emit the straight-line body with NO runtime branch —
+        # byte-identical kernel structure to the round-3 TPU-validated
+        # full-envelope kernel (the VSTAB_WARP_SINGLE_TIER escape hatch and
+        # branch="large" both land here).
+        _accumulate(*tap_tables[0])
+    else:
+        tier = tier_ref[0]
+        for ti, (ry_terms, rx_terms) in enumerate(tap_tables):
+
+            @pl.when(tier == ti)
+            def _(ry_terms=ry_terms, rx_terms=rx_terms):
+                _accumulate(ry_terms, rx_terms)
 
 
 def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
@@ -340,7 +361,7 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
     # roll, 15 deg) additionally get a 1/16 tier so a ~1 deg composed
     # rotation pays a small table. Tier selection uses an EXACT per-map
     # bound, so every tier computes exact bilinear.
-    if branch == "large":
+    if branch == "large" or _single_tier_forced():
         tiers = [(terms_l, None)]
     else:
         # Exact per-map coordinate ranges over a (TH, TW) tile — the same
@@ -410,7 +431,7 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
     s_env = abs(math.sin(math.radians(float(max_angle_deg)))) \
         + 2.0 * float(proj_budget) * dim
     terms_l = _terms_from_slope(s_env)
-    if branch == "large":
+    if branch == "large" or _single_tier_forced():
         tiers = [(terms_l, None)]
     else:
         # Runtime derivative bounds of the rational map over the output
