@@ -200,8 +200,8 @@ class TestBundledDetector:
         from video_stab_tpu.models.train import evaluate_detector
         model, params = bundled
         m = evaluate_detector(model, params, n_scenes=12, seed=4242)
-        assert m["recall"] >= 0.6, m
-        assert m["precision"] >= 0.5, m
+        assert m["recall"] >= 0.92, m
+        assert m["precision"] >= 0.92, m
 
     def test_stable_track_ids_on_moving_clip(self, bundled):
         from video_stab_tpu.models.detector import bundled_weights_path
@@ -257,8 +257,11 @@ class TestPhotographicGates:
         model, params = bundled
         m = evaluate_detector(model, params, n_scenes=12, seed=4242,
                               background="photo")
-        assert m["recall"] >= 0.6, m
-        assert m["precision"] >= 0.5, m
+        # Bundled FT3 weights measure 0.935/0.967 at these settings
+        # (0.922/0.934 at n_scenes=24); floors leave ~2 misses of
+        # sampling headroom on ~31 objects.
+        assert m["recall"] >= 0.85, m
+        assert m["precision"] >= 0.88, m
 
     def test_id_survives_occlusion_on_photographic_pan(self, bundled):
         """A car drives behind a pole band mid-clip (photographic pan
