@@ -19,10 +19,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the variant-matrix tests recompile the same
-# programs every run; caching them cuts suite wall-clock severalfold.
+# programs every run; caching them cuts suite wall-clock severalfold. The
+# directory is keyed per-host (utils/cache.py): XLA:CPU AOT entries from a
+# different machine can segfault on load.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from video_stab_tpu.utils.cache import compilation_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), os.pardir,
-                               ".jax_cache"))
+                               compilation_cache_dir(".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -6,7 +6,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+from video_stab_tpu.utils.cache import compilation_cache_dir
+jax.config.update("jax_compilation_cache_dir",
+                  compilation_cache_dir(".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import cv2
 cv2.setNumThreads(0)

@@ -19,7 +19,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+from video_stab_tpu.utils.cache import compilation_cache_dir
+jax.config.update("jax_compilation_cache_dir",
+                  compilation_cache_dir(".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 N = 200

@@ -10,7 +10,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+from video_stab_tpu.utils.cache import compilation_cache_dir
+jax.config.update("jax_compilation_cache_dir",
+                  compilation_cache_dir(".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import video_stab_tpu.pallas.warp as W
