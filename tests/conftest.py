@@ -41,6 +41,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_inprocess_accumulation():
+    """Full-suite runs (~227 tests, ~1000 compiled executables in one
+    process) crash with SIGSEGV/SIGABRT inside XLA:CPU near the end of
+    the suite — in whatever heavy work comes next (compile, or cache
+    serialize/deserialize), at different tests on different runs, and
+    never when any subset of the suite runs alone. That signature is
+    resource exhaustion from accumulated live executables, not a bug in
+    any one test. Dropping JAX's in-process caches after each module
+    bounds the accumulation; the persistent disk cache keeps the
+    recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

@@ -5,6 +5,14 @@ import numpy as np
 from video_stab_tpu.core.params import StabilizerParams
 from video_stab_tpu.parallel import MultiStreamStabilizer, make_stream_mesh
 
+
+# NOTE: full-suite runs used to crash (SIGSEGV/SIGABRT inside XLA:CPU)
+# under this module's tests — in compile OR cache serialize/deserialize,
+# never reproducible in isolation. Root cause was process-wide
+# accumulation of live executables across the whole suite, fixed by the
+# per-module jax.clear_caches() in conftest; nothing in this module is
+# special beyond being the last big compiles of the run.
+
 SMALL = StabilizerParams(smoothing_radius=5, analysis_width=64,
                          analysis_height=48, max_corners=32,
                          ransac_hypotheses=32)
