@@ -50,10 +50,12 @@ def test_dryrun_multichip_survives_dead_backend(monkeypatch):
     # the only safe decision path.
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     # Reuse the suite's persistent compile cache in the child so this
-    # integration test stays cheap on warm runs.
+    # integration test stays cheap on warm runs (host-keyed subdir —
+    # the plain root holds no entries, utils/cache.py).
+    from video_stab_tpu.utils.cache import compilation_cache_dir
     monkeypatch.setenv(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
-                                     ".jax_cache")))
+                                     compilation_cache_dir(".jax_cache"))))
     mod.dryrun_multichip(2)   # subprocess.run(check=True) raises on failure
     assert calls, "probe was not consulted before touching jax.devices()"

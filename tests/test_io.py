@@ -301,6 +301,7 @@ class TestChannelBridge:
         assert post == [("b-live", i) for i in range(7)], post[:10]
 
 
+@pytest.mark.slow
 class TestGraphDaemon:
     def test_daemon_lifecycle_and_switch(self):
         from video_stab_tpu.io.daemon import GraphDaemonClient
@@ -322,6 +323,7 @@ class TestGraphDaemon:
         assert not d.is_healthy()
 
 
+@pytest.mark.slow
 class TestRemoteFrameRouting:
     def test_fan_in_two_streams(self):
         from video_stab_tpu.io.remote import RemoteFrameServer, RemoteFrameSink
@@ -348,6 +350,7 @@ class TestRemoteFrameRouting:
             srv.stop()
 
 
+@pytest.mark.slow
 class TestAppWithTracker:
     def test_fused_app_with_tracker_smoke(self, tmp_path):
         import dataclasses
@@ -406,6 +409,7 @@ class TestKeyboardControls:
         assert app.graph.pipeline("output").listen_to == "processed"
 
 
+@pytest.mark.slow
 class TestLosslessChannel:
     """Channel depth>1: lossless in-order delivery (packet channels must
     not drop access units — P-frames reference their predecessors)."""

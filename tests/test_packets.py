@@ -120,6 +120,7 @@ class TestPassthrough:
         assert read_all(7) == read_all(1 << 20)
 
 
+@pytest.mark.slow
 class TestRTSPPacketRelay:
     def test_rtsp_passthrough_to_cv2(self, h264_file):
         """Compressed passthrough all the way to a real client: file ->
@@ -176,6 +177,7 @@ class TestRTSPPacketRelay:
             os.environ.pop("OPENCV_FFMPEG_CAPTURE_OPTIONS", None)
 
 
+@pytest.mark.slow
 class TestUdpRtpTransport:
     """UDP unicast RTP (VERDICT r3 #7): server SETUP client_port/
     server_port + client-side datagram depacketization with
@@ -269,6 +271,7 @@ class TestUdpRtpTransport:
             len(got), next_idr, len(aus))
 
 
+@pytest.mark.slow
 class TestAppPacketGraph:
     """Compressed passthrough INSIDE the managed app graph (VERDICT r2 #1):
     StabilizerApp routes access units through lossless packet channels; the
@@ -509,6 +512,7 @@ class TestAppPacketGraph:
         assert joined_out in joined_sent
 
 
+@pytest.mark.slow
 class TestDaemonPacketGraph:
     """Packet channel type in the out-of-process GraphDaemon (the gstd
     counterpart): a .h264 -> .h264 relay through the daemon is
@@ -617,6 +621,7 @@ class TestContainerPacketSource:
         assert not app.decoder_constructed
 
 
+@pytest.mark.slow
 class TestH265Rtsp:
     """RFC 7798 HEVC over the RTSP pair (server packetizer + client
     depacketizer) — the JetsonEncoder's second codec served and ingested
