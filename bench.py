@@ -426,8 +426,8 @@ def _run_config(name: str, iters: int):
     import jax
 
     from video_stab_tpu.utils.cache import compilation_cache_dir
-jax.config.update("jax_compilation_cache_dir",
-                  compilation_cache_dir(".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir",
+                      compilation_cache_dir(".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if name == "1080":
         fps, ms = _bench_scan(1080, 1920, SCAN_K_1080, iters)
