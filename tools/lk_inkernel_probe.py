@@ -88,7 +88,10 @@ def kernel(img_ref, pts_ref, out_ref, slab_scr, guess_scr, acc_scr, *,
     rows = jax.lax.broadcasted_iota(jnp.float32, (1, SLAB_R, 1), 1)
     cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, SLAB_C), 2)
 
-    def step(it, carry):
+    win_i = jax.lax.broadcasted_iota(jnp.float32, (1, WIN, 1), 1)
+
+    def step_reduce(it, carry):
+        """Variant A — pure weighted reductions (VPU-only lower bound)."""
         jitter = carry * 1e-9
         gy = guess_scr[:, 0][:, None, None] + jitter    # (N,1,1)
         gx = guess_scr[:, 1][:, None, None] + jitter
@@ -102,14 +105,42 @@ def kernel(img_ref, pts_ref, out_ref, slab_scr, guess_scr, acc_scr, *,
         wx = wx * (cols >= ANCHOR_X) * (cols < ANCHOR_X + WIN + 1)
         slab = slab_scr[:]                               # (N,32,128)
         # Two weighted reductions standing in for the residual x/y
-        # moments b = sum (J - I) * gradI: same arithmetic shape as the
-        # real Newton step's einsum pair.
+        # moments b = sum (J - I) * gradI.
         t = jnp.sum(slab * wy, axis=1)                   # (N,128)
         bx = jnp.sum(t * wx[:, 0, :], axis=1)            # (N,)
         ty = jnp.sum(slab * wx, axis=2)                  # (N,32)
         by = jnp.sum(ty * wy[:, :, 0], axis=1)           # (N,)
         return carry + jnp.sum(bx) * 1e-9 + jnp.sum(by) * 1e-9
 
+    def step_einsum(it, carry):
+        """Variant B — the shipped Newton step's exact einsum shapes
+        (ops/lk.py:264-282) over the resident slab: j_win via two
+        chained contractions, then the stacked-gradient residual
+        reduction. Measures whether Mosaic lowers these to something
+        MXU-shaped in-kernel."""
+        jitter = carry * 1e-9
+        gy = guess_scr[:, 0][:, None, None] + jitter
+        gx = guess_scr[:, 1][:, None, None] + jitter
+        # wy[n,i,a] = hat(gy + i - (a - ANCHOR)): window row i -> slab
+        # row a; same for columns.
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+            gy + win_i - (rows.transpose(0, 2, 1) - ANCHOR_Y)))  # (N,15,32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            gx + win_i - (cols - ANCHOR_X)))                     # (N,15,128)
+        slab = slab_scr[:]                                       # (N,32,128)
+        t = jnp.einsum("nia,nab->nib", wy, slab,
+                       preferred_element_type=jnp.float32)       # (N,15,128)
+        j_win = jnp.einsum("njb,nib->nij", wx, t,
+                           preferred_element_type=jnp.float32)   # (N,15,15)
+        # Residual reduction vs the (template, gradient) stack — reuse
+        # j_win as a surrogate g_stack to keep operand shapes honest.
+        g_stack = jnp.stack([j_win, j_win], axis=1)              # (N,2,15,15)
+        b = jnp.einsum("nij,ncij->nc", j_win, g_stack,
+                       preferred_element_type=jnp.float32)       # (N,2)
+        return carry + jnp.sum(b) * 1e-9
+
+    step = step_einsum if os.environ.get("LK_PROBE_VARIANT") == "einsum" \
+        else step_reduce
     acc = jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
     acc_scr[0, 0] = acc
     out_ref[0, 0] = acc_scr[0, 0]
