@@ -648,34 +648,46 @@ def main():
     # run is gone by the time the numbers land.
     if out["value"]:
         try:
-            commit = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True, timeout=10,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout.strip() or "unknown"
-            record = {
-                "provenance": "in-round measurement, NOT a driver-captured"
-                              " record",
-                "commit": commit, "round": 4,
-                "platform": "TPU v5e (1 chip, axon tunnel)",
-            }
-            for k in ("value", "ms_per_frame_1080p_amortized", "fps_4k",
-                      "ms_per_frame_4k_amortized", "fps_1080p_chain",
-                      "ms_per_frame_1080p_chain", "fps_8x1080p_aggregate",
-                      "p50_ms_per_frame_1080p_per_dispatch",
-                      "fps_1080p_delivered_to_host", "fps_1080p_end_to_end",
-                      "latency_tunnel_bound", "degraded_runtime",
-                      "warp_single_tier_fallback"):
-                if out.get(k) is not None:
-                    record["stabilized_fps_1080p" if k == "value" else k] \
-                        = out[k]
-            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_INROUND.json")
-            with open(path, "w") as f:
-                json.dump(record, f, indent=2)
-                f.write("\n")
+            write_inround_record(out)
         except Exception:
             pass
+
+
+def write_inround_record(out, path=None):
+    """Write BENCH_INROUND.json from a successful headline `out` dict.
+
+    The outage fallback in main() replays this file (with provenance)
+    when the backend is unreachable, so every real-chip measurement must
+    land on disk, not just in the launching session's transcript."""
+    import os
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, timeout=10,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout.strip() or "unknown"
+    record = {
+        "provenance": "in-round measurement, NOT a driver-captured record",
+        "commit": commit, "round": 4,
+        "platform": "TPU v5e (1 chip, axon tunnel)",
+    }
+    for k in ("value", "ms_per_frame_1080p_amortized", "fps_4k",
+              "ms_per_frame_4k_amortized", "fps_1080p_chain",
+              "ms_per_frame_1080p_chain", "fps_8x1080p_aggregate",
+              "p50_ms_per_frame_1080p_per_dispatch",
+              "fps_1080p_delivered_to_host", "fps_1080p_end_to_end",
+              "latency_tunnel_bound", "degraded_runtime",
+              "warp_single_tier_fallback"):
+        if out.get(k) is not None:
+            record["stabilized_fps_1080p" if k == "value" else k] = out[k]
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_INROUND.json")
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    return record
 
 
 if __name__ == "__main__":

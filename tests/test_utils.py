@@ -56,3 +56,37 @@ class TestTelemetry:
         f = FpsMeter()
         assert f.tick() == 0.0
         assert f.tick() > 0.0
+
+
+class TestBenchInroundRecord:
+    """bench.py's in-round record is what the outage fallback replays in
+    the official driver artifact — its write path must be load-bearing."""
+
+    def test_write_and_replay_roundtrip(self, tmp_path):
+        import importlib.util
+        import json
+        import os
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), os.pardir,
+                                  "bench.py"))
+        bench = importlib.util.module_from_spec(spec)
+        sys.modules["bench"] = bench
+        spec.loader.exec_module(bench)
+
+        out = {"value": 512.3, "ms_per_frame_1080p_amortized": 1.95,
+               "fps_4k": 270.0, "fps_8x1080p_aggregate": 460.0,
+               "fps_1080p_chain": None,            # omitted when null
+               "latency_tunnel_bound": False,
+               "degraded_runtime": False,
+               "warp_single_tier_fallback": False}
+        path = tmp_path / "BENCH_INROUND.json"
+        rec = bench.write_inround_record(out, path=str(path))
+        on_disk = json.loads(path.read_text())
+        assert on_disk == rec
+        assert on_disk["stabilized_fps_1080p"] == 512.3
+        assert "fps_1080p_chain" not in on_disk
+        assert on_disk["latency_tunnel_bound"] is False
+        assert on_disk["provenance"].startswith("in-round measurement")
+        assert on_disk["commit"] and on_disk["commit"] != "unknown"
