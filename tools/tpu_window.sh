@@ -33,10 +33,11 @@ echo "warp_probe rc=$rc" | tee -a /tmp/tpu_window/status
 tail -5 /tmp/tpu_window/warp_probe.log
 
 if [ $rc -ne 0 ]; then
-  echo "WARP PROBE FAILED — inspect log; if Mosaic compile error:" \
-       "git revert 7db3e64 and re-pin warp_branch=large (see memory" \
-       "tier-kernel-validation-pending)" | tee -a /tmp/tpu_window/status
-  exit 2
+  echo "WARP PROBE FAILED — forcing the TPU-validated single-tier kernel" \
+       "(VSTAB_WARP_SINGLE_TIER=1) for the rest of the window; inspect" \
+       "warp_probe.log, then revert 7db3e64 or fix the tier kernel" \
+       | tee -a /tmp/tpu_window/status
+  export VSTAB_WARP_SINGLE_TIER=1
 fi
 
 timeout 1800 python tools/profile_step.py \
