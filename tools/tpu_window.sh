@@ -48,4 +48,13 @@ tail -15 /tmp/tpu_window/profile_step.log
 timeout 1500 python bench.py > /tmp/tpu_window/bench.log 2>&1
 echo "bench rc=$?" | tee -a /tmp/tpu_window/status
 tail -2 /tmp/tpu_window/bench.log
+
+# A successful bench rewrites BENCH_INROUND.json (the outage fallback's
+# replay source); commit it so the numbers survive even if no session is
+# alive when the window closes.
+if ! git diff --quiet -- BENCH_INROUND.json; then
+  git add BENCH_INROUND.json
+  git commit -q -m "Record in-round TPU bench measurement (auto-committed at tunnel return)"
+  echo "BENCH_INROUND committed" | tee -a /tmp/tpu_window/status
+fi
 echo "done $(date -u +%H:%M:%S)" | tee -a /tmp/tpu_window/status
