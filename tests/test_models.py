@@ -258,10 +258,11 @@ class TestPhotographicGates:
         m = evaluate_detector(model, params, n_scenes=12, seed=4242,
                               background="photo")
         # Bundled FT3 weights measure 0.935/0.967 at these settings
-        # (0.922/0.934 at n_scenes=24); floors leave ~2 misses of
-        # sampling headroom on ~31 objects.
-        assert m["recall"] >= 0.85, m
-        assert m["precision"] >= 0.88, m
+        # (0.922/0.934 at n_scenes=24); the eval is seeded so the floors
+        # only need numeric-jitter headroom (~1 miss on ~31 objects).
+        # VERDICT r3 item 6 asks recall >= 0.90 on photographic scenes.
+        assert m["recall"] >= 0.90, m
+        assert m["precision"] >= 0.92, m
 
     def test_id_survives_occlusion_on_photographic_pan(self, bundled):
         """A car drives behind a pole band mid-clip (photographic pan
