@@ -57,4 +57,19 @@ if ! git diff --quiet -- BENCH_INROUND.json; then
   git commit -q -m "Record in-round TPU bench measurement (auto-committed at tunnel return)"
   echo "BENCH_INROUND committed" | tee -a /tmp/tpu_window/status
 fi
+# ---- phase 2: opportunistic probe data (official steps already done) ----
+# These feed the next perf increment (VERDICT r3 item 5); the window can
+# close mid-phase without losing anything official.
+timeout 1800 python tools/lk_inkernel_probe.py \
+  > /tmp/tpu_window/lk_inkernel_probe.log 2>&1
+echo "lk_inkernel_probe rc=$?" | tee -a /tmp/tpu_window/status
+tail -6 /tmp/tpu_window/lk_inkernel_probe.log
+
+for m in full topk; do
+  timeout 900 python tools/gftt_probe.py "$m" \
+    >> /tmp/tpu_window/gftt_probe.log 2>&1
+done
+echo "gftt_probe rc=$?" | tee -a /tmp/tpu_window/status
+tail -4 /tmp/tpu_window/gftt_probe.log
+
 echo "done $(date -u +%H:%M:%S)" | tee -a /tmp/tpu_window/status
