@@ -455,9 +455,25 @@ def main():
     # budget to what's left of the driver's outer timeout instead of
     # restarting a full DEADLINE_S (which would overrun it silently).
     wall0 = float(os.environ.get("VSTAB_BENCH_START", "0") or 0.0)
+    is_retry = bool(wall0)
     if wall0:
         elapsed = time.time() - wall0
-        deadline_s = max(240.0, min(DEADLINE_S, 1300.0 - elapsed))
+        deadline_s = min(DEADLINE_S, 1300.0 - elapsed)
+        if deadline_s < 180.0:
+            # The failed first attempt ate the outer window (e.g. a slow-
+            # tunnel Mosaic compile that died late): attempting the retry
+            # would be SIGKILLed mid-run by the driver/window timeout and
+            # leave NO artifact. Emit the labeled fallback record instead
+            # — an explicit partial beats a silent kill.
+            print(json.dumps({
+                "metric": "stabilized_fps_1080p", "value": None,
+                "unit": "frames/sec/chip", "vs_baseline": None,
+                "note": "headline bench failed and the single-tier retry"
+                        " did not fit the remaining outer window"
+                        f" ({deadline_s:.0f} s left); see BENCH_INROUND"
+                        ".json for the last real-chip measurement",
+            }))
+            return
     else:
         wall0 = time.time()
         deadline_s = float(DEADLINE_S)
@@ -467,10 +483,14 @@ def main():
     # would hang past any driver deadline and no bench artifact would
     # exist at all. Emit an explicit tpu_unavailable record instead.
     try:
+        # On the single-tier re-exec the backend already proved alive
+        # (the first attempt reached compile); don't spend another 240 s
+        # of the shrunken window re-proving it.
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=240)
+            capture_output=True, text=True,
+            timeout=60 if is_retry else 240)
         probe_ok = probe.returncode == 0 and probe.stdout.strip()
     except subprocess.TimeoutExpired:
         probe_ok = False
@@ -667,10 +687,17 @@ def write_inround_record(out, path=None):
         capture_output=True, text=True, timeout=10,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     ).stdout.strip() or "unknown"
+    # Date (not a round literal) + the measuring process's actual platform:
+    # a hardcoded round number goes stale the moment the next round starts,
+    # and the replayed provenance would then attribute numbers to the
+    # wrong round.
+    import datetime
     record = {
         "provenance": "in-round measurement, NOT a driver-captured record",
-        "commit": commit, "round": 4,
-        "platform": "TPU v5e (1 chip, axon tunnel)",
+        "commit": commit,
+        "measured_utc": datetime.datetime.now(
+            datetime.timezone.utc).strftime("%Y-%m-%dT%H:%MZ"),
+        "platform": out.get("platform") or "unknown",
     }
     for k in ("value", "ms_per_frame_1080p_amortized", "fps_4k",
               "ms_per_frame_4k_amortized", "fps_1080p_chain",

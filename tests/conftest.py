@@ -41,6 +41,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_modules_since_clear = [0]
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_inprocess_accumulation():
     """Full-suite runs (~227 tests, ~1000 compiled executables in one
@@ -49,11 +52,18 @@ def _bound_inprocess_accumulation():
     serialize/deserialize), at different tests on different runs, and
     never when any subset of the suite runs alone. That signature is
     resource exhaustion from accumulated live executables, not a bug in
-    any one test. Dropping JAX's in-process caches after each module
+    any one test. Dropping JAX's in-process caches every few modules
     bounds the accumulation; the persistent disk cache keeps the
-    recompiles cheap."""
+    recompiles cheap. The period trades wall-clock (each clear forces
+    cross-module retraces) against headroom below the crash threshold
+    (~all 15 modules' executables live at once); override with
+    VSTAB_TEST_CLEAR_PERIOD for experiments."""
     yield
-    jax.clear_caches()
+    _modules_since_clear[0] += 1
+    if _modules_since_clear[0] >= int(
+            os.environ.get("VSTAB_TEST_CLEAR_PERIOD", "1")):
+        _modules_since_clear[0] = 0
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -53,8 +53,11 @@ tail -2 /tmp/tpu_window/bench.log
 # replay source); commit it so the numbers survive even if no session is
 # alive when the window closes.
 if ! git diff --quiet -- BENCH_INROUND.json; then
-  git add BENCH_INROUND.json
-  git commit -q -m "Record in-round TPU bench measurement (auto-committed at tunnel return)"
+  # Pathspec-limited: this fires unattended, and a bare `git commit` would
+  # sweep whatever a dead session left staged into the bench record.
+  git commit -q \
+    -m "Record in-round TPU bench measurement (auto-committed at tunnel return)" \
+    -- BENCH_INROUND.json
   echo "BENCH_INROUND committed" | tee -a /tmp/tpu_window/status
 fi
 # ---- phase 2: opportunistic probe data (official steps already done) ----

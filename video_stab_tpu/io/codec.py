@@ -349,6 +349,39 @@ def nal_type(nal: bytes) -> Optional[int]:
     return nal[i] & 0x1F
 
 
+def strip_start_code(nal: bytes) -> bytes:
+    """Annex-B NAL payload (3- or 4-byte start code removed, if any)."""
+    if nal[:4] == b"\x00\x00\x00\x01":
+        return nal[4:]
+    if nal[:3] == b"\x00\x00\x01":
+        return nal[3:]
+    return nal
+
+
+def hevc_nal_type(nal: bytes) -> int:
+    """HEVC nal_unit_type ((first header byte >> 1) & 0x3F), -1 if empty."""
+    raw = strip_start_code(nal)
+    return (raw[0] >> 1) & 0x3F if raw else -1
+
+
+def is_irap(nal: bytes, codec: str = "h264") -> bool:
+    """Random-access point: H.264 IDR (type 5) or HEVC IRAP (BLA/IDR/CRA,
+    types 16..21). The single classifier behind every drop-to-next-IDR
+    resync and mid-stream processing switch (kept in one place so a
+    refinement — e.g. excluding CRA as a resume point — can't silently
+    miss a copy)."""
+    if codec in ("hevc", "h265"):
+        return 16 <= hevc_nal_type(nal) <= 21
+    return nal_type(nal) == 5
+
+
+def is_param_set(nal: bytes, codec: str = "h264") -> bool:
+    """Parameter set: H.264 SPS/PPS (7, 8) or HEVC VPS/SPS/PPS (32..34)."""
+    if codec in ("hevc", "h265"):
+        return hevc_nal_type(nal) in (32, 33, 34)
+    return nal_type(nal) in (7, 8)
+
+
 class ContainerDemuxer:
     """MP4/MKV/MOV/M4V -> Annex-B H.264/HEVC packets, NO decode — the
     qtdemux->h264parse stage of the reference's compressed ingest

@@ -32,7 +32,9 @@ from typing import Callable, Iterator, List, Optional
 
 import numpy as np
 
-from video_stab_tpu.io.codec import VideoDecoder, nal_type, split_nal_units
+from video_stab_tpu.io.codec import (VideoDecoder, is_param_set, nal_type,
+                                     split_nal_units)
+from video_stab_tpu.io.codec import is_irap as codec_is_irap
 from video_stab_tpu.utils.telemetry import get_logger
 
 VCL_TYPES = {1, 2, 3, 4, 5}       # H.264 coded-slice NAL unit types
@@ -427,10 +429,7 @@ class RtspPacketSource:
         expect_seq: Optional[int] = None
 
         def is_irap(n):
-            if self.codec_name == "hevc":
-                raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n[3:]
-                return raw and 16 <= ((raw[0] >> 1) & 0x3F) <= 21
-            return nal_type(n) == 5
+            return codec_is_irap(n, self.codec_name)
 
         def emit_au():
             nonlocal au, sprop_pending
@@ -438,10 +437,7 @@ class RtspPacketSource:
                 return
 
             def is_ps(n):
-                if self.codec_name == "hevc":
-                    raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n
-                    return raw and ((raw[0] >> 1) & 0x3F) in (32, 33, 34)
-                return nal_type(n) in (7, 8)
+                return is_param_set(n, self.codec_name)
 
             # After an overflow drop the decode chain is broken mid-GOP:
             # hold further units until the next IDR/IRAP so the consumer
@@ -476,8 +472,17 @@ class RtspPacketSource:
             marker = bool(payload[1] & 0x80)
             seq = int.from_bytes(payload[2:4], "big")
             if expect_seq is not None and seq != expect_seq:
-                # UDP loss/reorder: the unit under assembly is broken —
-                # drop it and hold until the next IDR.
+                if (seq - expect_seq) & 0xFFFF > 0x8000:
+                    # Late/duplicate packet (behind expect_seq mod 2^16):
+                    # its absence was already handled as a gap when its
+                    # successor arrived. Ignore it WITHOUT rewinding
+                    # expect_seq — resetting expectations backwards would
+                    # declare a fresh false gap (and an IDR-resync) for
+                    # every subsequent in-flight packet, turning one
+                    # reordered pair into several lost GOPs.
+                    return
+                # Genuine forward gap (UDP loss): the unit under assembly
+                # is broken — drop it and hold until the next IDR.
                 au = []
                 fu_buf = None
                 self.units_dropped += 1

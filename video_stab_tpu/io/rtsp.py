@@ -39,28 +39,15 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from video_stab_tpu.io.codec import (VideoEncoder, available, nal_type,
-                                     split_nal_units)
+from video_stab_tpu.io.codec import (VideoEncoder, available, hevc_nal_type,
+                                     nal_type, split_nal_units,
+                                     strip_start_code as _strip_start_code)
 from video_stab_tpu.io.sinks import FrameSink, bitrate_kbps_server
 from video_stab_tpu.utils.telemetry import get_logger
 
 RTP_PT = 96           # dynamic payload type, matches the reference's pay0
 RTP_CLOCK = 90000     # H.264 RTP clock (RFC 6184 §8.2.1)
 MAX_RTP_PAYLOAD = 60000   # keep under the 16-bit interleaved frame limit
-
-
-def _strip_start_code(nal: bytes) -> bytes:
-    if nal[:4] == b"\x00\x00\x00\x01":
-        return nal[4:]
-    if nal[:3] == b"\x00\x00\x01":
-        return nal[3:]
-    return nal
-
-
-def hevc_nal_type(nal: bytes) -> int:
-    """HEVC NAL unit type ((first header byte >> 1) & 0x3F)."""
-    raw = _strip_start_code(nal)
-    return (raw[0] >> 1) & 0x3F if raw else -1
 
 
 def packetize_h265(nals: List[bytes], timestamp: int, seq: int,
@@ -216,11 +203,15 @@ class RTSPServer(FrameSink):
 
     def _ensure_udp_socket(self) -> socket.socket:
         """Lazily bind the shared UDP RTP send socket (+ its RTCP twin so
-        the advertised server_port pair really is ours)."""
-        if self._udp_sock is None:
-            from video_stab_tpu.io.packets import _bind_udp_pair
-            self._udp_sock, self._udp_rtcp_sock, _ = _bind_udp_pair()
-        return self._udp_sock
+        the advertised server_port pair really is ours). Guarded by
+        _slock: concurrent SETUPs run in separate ThreadingTCPServer
+        threads, and an unsynchronized double-bind would leak the losing
+        socket pair and advertise a port nobody sends from."""
+        with self._slock:
+            if self._udp_sock is None:
+                from video_stab_tpu.io.packets import _bind_udp_pair
+                self._udp_sock, self._udp_rtcp_sock, _ = _bind_udp_pair()
+            return self._udp_sock
 
     # -- sink API -----------------------------------------------------------
     def push_frame(self, frame: np.ndarray) -> None:
@@ -453,6 +444,15 @@ class RTSPServer(FrameSink):
                 "Session": session.session_id if session else ""},
                 wlock=wlock)
         elif method == "TEARDOWN":
+            # Unregister HERE, not only in _handle_connection's finally:
+            # returning _CLOSE overwrites the caller's session reference,
+            # so the finally-block pop never sees it — and a UDP session
+            # has no send-failure self-heal (sendto to a vacated port
+            # succeeds forever), so a missed pop streams to a ghost
+            # client for the server's whole lifetime.
+            if isinstance(session, _Session):
+                with self._slock:
+                    self._sessions.pop(session.session_id, None)
             self._reply(sock, cseq, {}, wlock=wlock)
             return _CLOSE
         else:

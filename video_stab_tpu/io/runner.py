@@ -104,7 +104,16 @@ class StabilizerApp:
                   or out.endswith((".h264", ".264", ".h265", ".265", ".hevc",
                                    ".mp4", ".m4v", ".mkv", ".mov"))
                   or out.startswith("rtsp://"))
-        return src_ok and out_ok and available("libx264")
+        enc_ok = available("libx264")
+        if src.endswith((".h265", ".265", ".hevc")) \
+                or out.endswith((".h265", ".265", ".hevc")):
+            # An HEVC stream stays HEVC through processing (the sink's
+            # rtpmap/mux and the encoder bridge are codec-threaded), so
+            # the packet route additionally needs the HEVC encoder; a
+            # libx264-only build would die mid-run at switch_processing()
+            # where the frame graph works fine.
+            enc_ok = enc_ok and available("libx265")
+        return src_ok and out_ok and enc_ok
 
     def _build_frame_graph(self, sink) -> None:
         """Decoded-frame graph (the vsg.cpp appsink/appsrc route)."""
@@ -189,18 +198,13 @@ class StabilizerApp:
         if not self._pkt_active:
             self._pkt_wait_idr = True
             return None
-        from video_stab_tpu.io.codec import nal_type
+        from video_stab_tpu.io.codec import is_irap
         src_codec = getattr(self.source, "codec_name", "") or "h264"
         is_hevc = src_codec in ("hevc", "h265")
         if is_hevc and not self._pkt_decoder.decoder_constructed:
             self._pkt_decoder.codec = "hevc"
         if self._pkt_wait_idr:
-            def is_idr(n):
-                if is_hevc:     # IDR_W_RADL/IDR_N_LP/CRA (16..21 IRAP)
-                    raw = n[4:] if n[:4] == b"\x00\x00\x00\x01" else n[3:]
-                    return raw and 16 <= ((raw[0] >> 1) & 0x3F) <= 21
-                return nal_type(n) == 5
-            if not any(is_idr(n) for n in au):
+            if not any(is_irap(n, src_codec) for n in au):
                 return None         # resume at the next gop boundary
             self._pkt_wait_idr = False
         out_nals = []

@@ -301,7 +301,11 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
     occ_x = int(objs[0][1] + objs[0][3] * mid_t + pan_v * mid_t)
     bw0 = 44 * objs[0][4]               # car body width at objs[0] scale
     speed = abs(objs[0][3] + pan_v)
-    occ_w = int(bw0 * 0.5 + 4 * max(speed, 1.0))
+    # Wider than the car by ~4 frames of travel: the GT-blank frames below
+    # must be GENUINELY fully hidden, or the detector keeps firing on the
+    # visible fragments and the tracker never actually coasts (the contract
+    # the occlusion tests exist to exercise).
+    occ_w = int(bw0 * 1.25 + 4 * max(speed, 1.0))
     occ_col = tuple(float(c) for c in base_rng.integers(35, 90, 3))
     frames, all_boxes = [], []
     for t in range(n_frames):
@@ -315,9 +319,11 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
                 bbox = _DRAWERS[cls](img, obj_rng, x, cy, scale)
                 bx, by, bw_, bh_ = bbox
                 # Fully-occluded objects are no longer ground truth for
-                # that frame (the detector cannot see them).
-                if occluder and bx >= occ_x - occ_w // 2 - bw_ * 0.25 \
-                        and bx + bw_ <= occ_x + occ_w // 2 + bw_ * 0.25:
+                # that frame (the detector cannot see them). Strict
+                # containment: a box allowed to protrude would leave car
+                # fragments visible on "occluded" frames.
+                if occluder and bx >= occ_x - occ_w // 2 \
+                        and bx + bw_ <= occ_x + occ_w // 2:
                     continue
                 boxes.append((cls, float(bx - win_x), float(by),
                               float(bw_), float(bh_)))

@@ -72,6 +72,17 @@ def _iou(a, b):
     return inter / union if union > 0 else 0.0
 
 
+def _iom(a, b):
+    """Intersection over the SMALLER box's area (fragment containment)."""
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    x1, y1 = max(ax, bx), max(ay, by)
+    x2, y2 = min(ax + aw, bx + bw), min(ay + ah, by + bh)
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    smaller = min(aw * ah, bw * bh)
+    return inter / smaller if smaller > 0 else 0.0
+
+
 class _Track:
     """Constant-velocity Kalman on (cx, cy, w, h)."""
 
@@ -81,6 +92,7 @@ class _Track:
         self.p = np.eye(6) * 10.0
         self.tid = tid
         self.class_id = det.class_id
+        self.class_votes = {det.class_id: 1}
         self.confidence = det.confidence
         self.hits = 1
         self.age = 0
@@ -106,8 +118,27 @@ class _Track:
         self.x = self.x + k @ (z - hm @ self.x)
         self.p = (np.eye(6) - k @ hm) @ self.p
         self.confidence = det.confidence
-        self.class_id = det.class_id
+        # Sticky class: a partially-occluded object is routinely
+        # misclassified frame-to-frame (a car's visible sliver reads as
+        # another class); majority vote keeps the identity's label from
+        # flapping with each fragment detection.
+        self.class_votes[det.class_id] = \
+            self.class_votes.get(det.class_id, 0) + 1
+        if self.class_votes[det.class_id] > \
+                self.class_votes.get(self.class_id, 0):
+            self.class_id = det.class_id
         self.hits += 1
+        self.lost = 0
+
+    def touch(self, det: Detection):
+        """Fragment (second-chance) match: identity evidence ONLY. The
+        fragment box measures the visible sliver, not the object — feeding
+        it to the Kalman collapses the track's extent and drags its center
+        to the occluder edge, after which the real re-emergence can't
+        associate. Keep coasting the motion model; just keep the identity
+        alive (NvDCF shadow-track semantics)."""
+        self.class_votes[det.class_id] = \
+            self.class_votes.get(det.class_id, 0) + 1
         self.lost = 0
 
     @property
@@ -187,8 +218,36 @@ class ObjectTracker:
             if best >= 0:
                 pairs.append((ti, best))
                 unmatched.remove(best)
+        # Second chance for unmatched tracks: an object re-emerging from
+        # behind an occluder is detected as a FRAGMENT (the visible sliver
+        # at the occluder's edge), whose IoU with the full-size predicted
+        # box stays far below iou_threshold even when the coasted
+        # prediction is spot-on — so the primary pass would mint a fresh
+        # identity mid-occlusion. Class-gated fragment containment
+        # (intersection over the smaller area) re-locks the existing
+        # track instead: the IoU analogue of NvDCF shadow-track
+        # re-association (DeepStreamTracker.h:46-52).
+        matched = {ti for ti, _ in pairs}
+        frag_pairs = []
+        for ti, t in enumerate(self._tracks):
+            if ti in matched or not unmatched:
+                continue
+            best, best_iom = -1, 0.5
+            for di in unmatched:
+                # No class gate here: fragments routinely misclassify
+                # (the sliver of a car emerging past an occluder edge
+                # reads as another class), and the track's own class is
+                # majority-voted, so one fragment can't relabel it.
+                iom = _iom(t.bbox, dets[di].bbox)
+                if iom > best_iom:
+                    best, best_iom = di, iom
+            if best >= 0:
+                frag_pairs.append((ti, best))
+                unmatched.remove(best)
         for ti, di in pairs:
             self._tracks[ti].update(dets[di])
+        for ti, di in frag_pairs:
+            self._tracks[ti].touch(dets[di])
         for di in unmatched:
             self._tracks.append(_Track(self._next_id, dets[di]))
             self._next_id += 1
