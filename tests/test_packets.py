@@ -270,6 +270,108 @@ class TestUdpRtpTransport:
         assert payloads(got) == payloads(aus[:3] + aus[next_idr:]), (
             len(got), next_idr, len(aus))
 
+    def test_udp_reorder_costs_one_resync_not_a_cascade(self, h264_file):
+        """A reordered packet pair is ONE gap event, not a cascade: the
+        late packet must be ignored (stale) without rewinding expect_seq —
+        a rewind would declare a fresh false gap for every in-flight
+        packet that follows, multiplying the drop-to-next-IDR cost."""
+        from video_stab_tpu.io.packets import PacketSource, RtspPacketSource
+        from video_stab_tpu.io.rtsp import packetize_h264
+
+        feed = PacketSource(h264_file)
+        aus = []
+        while (au := feed.read()) is not None:
+            aus.append(au)
+        feed.stop()
+
+        src = RtspPacketSource("rtsp://unused/", transport="udp")
+        on_packet, finish = src._make_depacketizer()
+        seq = 0
+        for i, au in enumerate(aus):
+            # Small payload cap forces >=3 FU fragments per unit so a
+            # WITHIN-unit adjacent swap exists.
+            packets, seq = packetize_h264(au, 90000 * i, seq, 7,
+                                          max_payload=200)
+            if i == 3:
+                assert len(packets) >= 3
+                packets[1], packets[2] = packets[2], packets[1]
+            for p in packets:
+                on_packet(p)
+        finish()
+        got = []
+        while (au := src._queue.get_nowait()) is not None:
+            got.append(au)
+
+        # Exactly one unit lost (the one under assembly at the swap) —
+        # the pre-fix rewind counted 3+ and could eat later units too.
+        assert src.units_dropped == 1
+
+        def has_idr(au):
+            return any(vcodec.nal_type(n) == 5 for n in au)
+
+        def strip(n):
+            for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+                if n.startswith(sc):
+                    return n[len(sc):]
+            return n
+
+        def payloads(units):
+            return [[strip(n) for n in au] for au in units]
+
+        next_idr = next(i for i in range(4, len(aus)) if has_idr(aus[i]))
+        assert payloads(got) == payloads(aus[:3] + aus[next_idr:])
+
+    def test_udp_teardown_unregisters_session(self, h264_file):
+        """TEARDOWN must remove the session server-side: a UDP session has
+        no send-failure self-heal (sendto to a vacated port succeeds
+        forever), so a missed unregister streams to a ghost client for
+        the server's whole lifetime."""
+        import time
+
+        from video_stab_tpu.io.packets import RtspPacketSource
+        from video_stab_tpu.io.rtsp import RTSPServer
+
+        srv = RTSPServer(port=18896, mount="/udp", fps=30).start()
+        try:
+            src = RtspPacketSource("rtsp://127.0.0.1:18896/udp",
+                                   transport="udp").start()
+            deadline = time.time() + 5.0
+            while srv.n_clients != 1 and time.time() < deadline:
+                time.sleep(0.05)
+            assert srv.n_clients == 1
+            src.stop()              # sends TEARDOWN
+            deadline = time.time() + 5.0
+            while srv.n_clients != 0 and time.time() < deadline:
+                time.sleep(0.05)
+            assert srv.n_clients == 0
+        finally:
+            srv.close()
+
+    def test_hevc_endpoints_require_hevc_encoder(self, monkeypatch):
+        """The packet route must not be selected for .h265 endpoints when
+        only libx264 opens — switch_processing() would die mid-run where
+        the frame graph works (review finding, io/runner.py)."""
+        from types import SimpleNamespace
+
+        from video_stab_tpu.io import codec as vc
+        from video_stab_tpu.io.runner import StabilizerApp
+
+        stub = SimpleNamespace(cfg=SimpleNamespace(
+            video_source="cam.h265", output_source="out.h265"))
+        decide = StabilizerApp._decide_packet_mode
+
+        monkeypatch.setattr(vc, "available",
+                            lambda codec="libx264": codec == "libx264")
+        assert decide(stub, None, None) is False
+        monkeypatch.setattr(vc, "available", lambda codec="libx264": True)
+        assert decide(stub, None, None) is True
+        # H.264 endpoints stay gated on libx264 alone.
+        stub264 = SimpleNamespace(cfg=SimpleNamespace(
+            video_source="cam.h264", output_source="out.h264"))
+        monkeypatch.setattr(vc, "available",
+                            lambda codec="libx264": codec == "libx264")
+        assert decide(stub264, None, None) is True
+
 
 @pytest.mark.slow
 class TestAppPacketGraph:
