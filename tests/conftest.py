@@ -55,13 +55,15 @@ def _bound_inprocess_accumulation():
     any one test. Dropping JAX's in-process caches every few modules
     bounds the accumulation; the persistent disk cache keeps the
     recompiles cheap. The period trades wall-clock (each clear forces
-    cross-module retraces) against headroom below the crash threshold
-    (~all 15 modules' executables live at once); override with
-    VSTAB_TEST_CLEAR_PERIOD for experiments."""
+    cross-module retraces) against headroom below the crash threshold:
+    measured period=1 573 s, period=3 440 s green, no-clear 421 s then
+    SIGSEGV at ~95% — period 3 keeps most of the savings at ~1/5 the
+    peak accumulation. Override with VSTAB_TEST_CLEAR_PERIOD for
+    experiments."""
     yield
     _modules_since_clear[0] += 1
     if _modules_since_clear[0] >= int(
-            os.environ.get("VSTAB_TEST_CLEAR_PERIOD", "1")):
+            os.environ.get("VSTAB_TEST_CLEAR_PERIOD", "3")):
         _modules_since_clear[0] = 0
         jax.clear_caches()
 
