@@ -43,14 +43,34 @@ from video_stab_tpu.ops.warp import (BORDER_CONSTANT, _pad_mode,
 # per-tile slice/roll/convert overhead scales as 1/(TH*TW). Measured at
 # 1080p x3 (small-rotation branch): TH=8 -> 4.3 ms, TH=32 -> 0.94 ms,
 # TH=64 keeps the SAME small-branch tap table (4x3) with half the tiles.
+# Round-4 sweep on real TPU (chained-carry timing, donated frames): the
+# tile is now chosen STATICALLY per call from the envelope —
+#   (64, 256): 1080p env3 0.49 ms (was 0.58), 4K env3 1.59 (was 2.08),
+#              env6 0.55/1.81 (was 0.66/2.41); compiles up to env=14,
+#              scoped-VMEM-OOMs at 15.
+#   (64, 128): the wide-envelope fallback (chain runs max(12, aux) up to
+#              15 deg); env15 0.80 ms.
+# Threshold sin(13 deg) keeps a margin from the OOM cliff. Other shapes
+# measured worse or OOM'd earlier: 32x128 (0.84), 32x256 (0.61),
+# 128x128 (0.49 but env6 0.63 and OOM at 15), 128x256, 64x512.
 TH, TW = 64, 128
+TH_NARROW, TW_NARROW = 64, 256
+_NARROW_SLOPE = math.sin(math.radians(13.0))
+
+
+def _pick_tile(s_env: float) -> tuple[int, int]:
+    """Static output-tile shape for a given envelope slope bound."""
+    if s_env <= _NARROW_SLOPE:
+        return TH_NARROW, TW_NARROW
+    return TH, TW
 
 # Projective allowance |g|,|h| of warp_homography_u8's static envelope.
 PROJ_BUDGET_DEFAULT = 5e-6
 
 
-def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
-    """Static shift-term counts for the (TH, TW) tile under the rotation
+def _envelope_terms(max_angle_deg: float, th: int = TH,
+                    tw: int = TW) -> tuple[int, int]:
+    """Static shift-term counts for the (th, tw) tile under the rotation
     envelope (sin bounds the off-diagonals, 1-cos the diagonal deviation).
     Mirrors ops/warp.py:194-198.
 
@@ -60,12 +80,12 @@ def _envelope_terms(max_angle_deg: float) -> tuple[int, int]:
     integer taps 0 .. floor(max q-d) + 1 <= floor(range + 1) + 1
     <= ceil(range) + 2 terms."""
     s = abs(math.sin(math.radians(float(max_angle_deg))))
-    return _terms_from_slope(s)
+    return _terms_from_slope(s, th, tw)
 
 
-def _terms_from_slope(s: float) -> tuple[int, int]:
-    ry = int(np.ceil(s * (TW - 1) + (s ** 2) * TH)) + 2
-    rx = int(np.ceil(s * (TH - 1) + (s ** 2) * TW)) + 2
+def _terms_from_slope(s: float, th: int = TH, tw: int = TW) -> tuple[int, int]:
+    ry = int(np.ceil(s * (tw - 1) + (s ** 2) * th)) + 2
+    rx = int(np.ceil(s * (th - 1) + (s ** 2) * tw)) + 2
     return ry, rx
 
 
@@ -81,7 +101,8 @@ def _single_tier_forced() -> bool:
 
 def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
                  ntx: int, pad_y: int, halo_x: int,
-                 tap_tables, projective: bool = False):
+                 tap_tables, th: int = TH, tw: int = TW,
+                 projective: bool = False):
     """One grid step = ONE (channel, output tile).
 
     The per-tile slab origin is data-dependent (it follows the inverse
@@ -115,10 +136,10 @@ def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
     sh_a = img_ref.shape[1]
     sw_a = img_ref.shape[2]
 
-    dy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
-    dx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
-    y0 = ((t // ntx) * TH).astype(jnp.float32)
-    x0 = ((t % ntx) * TW).astype(jnp.float32)
+    dy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    dx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    y0 = ((t // ntx) * th).astype(jnp.float32)
+    x0 = ((t % ntx) * tw).astype(jnp.float32)
     sx = a_ * (x0 + dx) + b_ * (y0 + dy) + c_
     sy = d_ * (x0 + dx) + e_ * (y0 + dy) + f_
     if projective:
@@ -138,9 +159,9 @@ def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
     ry_max = max(tt[0] for tt in tap_tables)
     rx_max = max(tt[1] for tt in tap_tables)
     slab = img_ref[0].astype(jnp.int32)
-    slab = pltpu.roll(slab, (sh_a - resid_y) % sh_a, 0)[:TH + ry_max - 1]
+    slab = pltpu.roll(slab, (sh_a - resid_y) % sh_a, 0)[:th + ry_max - 1]
     slab = pltpu.roll(slab, (sw_a - resid_x) % sw_a, 1)
-    slab = slab[:, :TW + rx_max - 1].astype(jnp.float32)
+    slab = slab[:, :tw + rx_max - 1].astype(jnp.float32)
     qy = sy - (oy_ref[t] - pad_y).astype(jnp.float32)
     qx = sx - (ox_ref[t] - halo_x).astype(jnp.float32)
 
@@ -161,13 +182,13 @@ def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
         # Materialize each lane-shifted slab view once (lane shifts
         # cost more than sublane-offset slices; this turns ry*rx
         # lane shifts into rx).
-        slabs_x = [slab[:, rx:rx + TW] for rx in range(rx_terms)]
-        acc = jnp.zeros((TH, TW), jnp.float32)
+        slabs_x = [slab[:, rx:rx + tw] for rx in range(rx_terms)]
+        acc = jnp.zeros((th, tw), jnp.float32)
         for ry in range(ry_terms):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy - (dy + ry)))
-            inner = jnp.zeros((TH, TW), jnp.float32)
+            inner = jnp.zeros((th, tw), jnp.float32)
             for rx in range(rx_terms):
-                inner = inner + wxs[rx] * slabs_x[rx][ry:ry + TH]
+                inner = inner + wxs[rx] * slabs_x[rx][ry:ry + th]
             acc = acc + wy * inner
 
         # Round half-to-even (cv2 saturate_cast / jnp.round
@@ -199,7 +220,7 @@ def _warp_kernel(oy_ref, ox_ref, tier_ref, m_ref, img_ref, out_ref, *,
 def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
                   s_env: float, max_shift: int,
                   tiers, projective: bool,
-                  interpret: bool):
+                  interpret: bool, th: int = TH, tw: int = TW):
     """Shared tile-kernel driver for affine and projective u8 warps.
 
     mvec8: (1, 8) f32 inverse map. s_env: static slope bound (the
@@ -215,11 +236,11 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     h, w, ch = img.shape
 
     ry_l, rx_l = tiers[-1][0]
-    sh_a = -(-(TH + ry_l - 1 + 7) // 8) * 8
-    sw_a = -(-(TW + rx_l - 1 + 127) // 128) * 128
+    sh_a = -(-(th + ry_l - 1 + 7) // 8) * 8
+    sw_a = -(-(tw + rx_l - 1 + 127) // 128) * 128
 
-    oh_a = -(-out_h // TH) * TH
-    ow_a = -(-out_w // TW) * TW
+    oh_a = -(-out_h // th) * th
+    ow_a = -(-out_w // tw) * tw
 
     # Pads: translation budget + the envelope's coordinate deviation over
     # the FULL frame (sin term across the orthogonal extent + the cos-1 ~
@@ -230,7 +251,7 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     # of px); omitting it from pad_y silently blacked out edge tiles.
     dev_y = int(np.ceil(s_env * (ow_a + 2 * max_shift)
                         + (s_env ** 2) * (oh_a + 2 * max_shift)))
-    pad_y = max_shift + TH + sh_a + 2 + dev_y
+    pad_y = max_shift + th + sh_a + 2 + dev_y
     hp = h + 2 * pad_y
     hp_pad_extra = (-hp) % 8
     halo_x = (max_shift
@@ -258,15 +279,15 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
     # (for projective maps) the rational map's sub-pixel sag below its
     # corner chords — the +2 tap-count cushion proves one extra unit of
     # slack, so lowering the base by <1 keeps every tap in-table.
-    nty = oh_a // TH
-    ntx = ow_a // TW
+    nty = oh_a // th
+    ntx = ow_a // tw
     hp_t = h + 2 * pad_y + hp_pad_extra
     wp_t = w + halo_x + pad_right
     mf = jnp.reshape(mvec8, (8,))
-    yc = (jnp.arange(nty, dtype=jnp.float32) * TH)[:, None, None, None] \
-        + jnp.asarray([0.0, TH - 1.0], jnp.float32)[None, None, :, None]
-    xc = (jnp.arange(ntx, dtype=jnp.float32) * TW)[None, :, None, None] \
-        + jnp.asarray([0.0, TW - 1.0], jnp.float32)[None, None, None, :]
+    yc = (jnp.arange(nty, dtype=jnp.float32) * th)[:, None, None, None] \
+        + jnp.asarray([0.0, th - 1.0], jnp.float32)[None, None, :, None]
+    xc = (jnp.arange(ntx, dtype=jnp.float32) * tw)[None, :, None, None] \
+        + jnp.asarray([0.0, tw - 1.0], jnp.float32)[None, None, None, :]
     sxc = mf[0] * xc + mf[1] * yc + mf[2]
     syc = mf[3] * xc + mf[4] * yc + mf[5]
     if projective:
@@ -275,9 +296,9 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
         sxc = sxc * inv
         syc = syc * inv
     eps = 0.51 if projective else 0.01
-    resy = syc - jnp.asarray([0.0, TH - 1.0],
+    resy = syc - jnp.asarray([0.0, th - 1.0],
                              jnp.float32)[None, None, :, None]
-    resx = sxc - jnp.asarray([0.0, TW - 1.0],
+    resx = sxc - jnp.asarray([0.0, tw - 1.0],
                              jnp.float32)[None, None, None, :]
     base_y = jnp.floor(jnp.min(resy, axis=(2, 3)) - eps).astype(jnp.int32)
     base_x = jnp.floor(jnp.min(resx, axis=(2, 3)) - eps).astype(jnp.int32)
@@ -297,7 +318,7 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
 
     kern = functools.partial(
         _warp_kernel, ntx=ntx, pad_y=pad_y, halo_x=halo_x,
-        tap_tables=tap_tables, projective=projective)
+        tap_tables=tap_tables, th=th, tw=tw, projective=projective)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ch, nty * ntx),
@@ -312,7 +333,7 @@ def _warp_u8_impl(img, mvec8, out_h, out_w, border_mode, border_value,
                     pl.multiple_of((ox[t] // 128) * 128, 128)),
                 memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, TW),
+        out_specs=pl.BlockSpec((1, th, tw),
                                lambda c, t, oy, ox, td: (
                                    c, t // ntx, t % ntx),
                                memory_space=pltpu.VMEM),
@@ -354,7 +375,8 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
     mvec8 = jnp.concatenate([mf6, jnp.zeros(2, jnp.float32)]).reshape(1, 8)
 
     s_env = abs(math.sin(math.radians(float(max_angle_deg))))
-    terms_l = _envelope_terms(max_angle_deg)
+    th, tw = _pick_tile(s_env)
+    terms_l = _envelope_terms(max_angle_deg, th, tw)
     # Small-rotation tier cascade: most stabilizing corrections sit far
     # inside the envelope (<= 1/4 of it), where the tap table shrinks ~3x
     # (e.g. 9x4 -> 4x3 at the default 3 deg); wide envelopes (fused-chain
@@ -367,14 +389,14 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         # Exact per-map coordinate ranges over a (TH, TW) tile — the same
         # quantities _envelope_terms bounds analytically. A tier is
         # sufficient iff ceil(range) + 2 <= terms, i.e. range <= terms-2.
-        ry_act = jnp.abs(mf6[3]) * (TW - 1) + jnp.abs(mf6[4] - 1.0) * TH
-        rx_act = jnp.abs(mf6[1]) * (TH - 1) + jnp.abs(mf6[0] - 1.0) * TW
+        ry_act = jnp.abs(mf6[3]) * (tw - 1) + jnp.abs(mf6[4] - 1.0) * th
+        rx_act = jnp.abs(mf6[1]) * (th - 1) + jnp.abs(mf6[0] - 1.0) * tw
         # env/16 included at every envelope: steady-state stabilizer
         # corrections are ~0.05-0.2 deg, inside the 3x3-tap table.
         fracs = (0.0625, 0.25)
         tiers = []
         for f in fracs:
-            t = _envelope_terms(max_angle_deg * f)
+            t = _envelope_terms(max_angle_deg * f, th, tw)
             if t == terms_l or any(t == p[0] for p in tiers):
                 continue
             pred = (ry_act <= float(t[0] - 2)) & (rx_act <= float(t[1] - 2))
@@ -382,7 +404,8 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         tiers.append((terms_l, None))
     return _warp_u8_impl(img, mvec8, out_h, out_w, border_mode,
                          border_value, s_env, max_shift, tiers,
-                         projective=False, interpret=interpret)
+                         projective=False, interpret=interpret,
+                         th=th, tw=tw)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -430,7 +453,8 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
     dim = max(out_h, out_w) + max_shift
     s_env = abs(math.sin(math.radians(float(max_angle_deg)))) \
         + 2.0 * float(proj_budget) * dim
-    terms_l = _terms_from_slope(s_env)
+    th, tw = _pick_tile(s_env)
+    terms_l = _terms_from_slope(s_env, th, tw)
     if branch == "large" or _single_tier_forced():
         tiers = [(terms_l, None)]
     else:
@@ -448,14 +472,14 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
         dsx_dy = (jnp.abs(mf[1]) + sx_max * jnp.abs(mf[7])) / denom_lo
         dsx_dx = (jnp.abs(mf[0] - 1.0) + sx_max * jnp.abs(mf[6]) + pb) \
             / denom_lo
-        ry_act = dsy_dx * (TW - 1) + dsy_dy * TH
-        rx_act = dsx_dy * (TH - 1) + dsx_dx * TW
+        ry_act = dsy_dx * (tw - 1) + dsy_dy * th
+        rx_act = dsx_dy * (th - 1) + dsx_dx * tw
         fracs = (0.0625, 0.25) if max_angle_deg > 6.0 else (0.25,)
         tiers = []
         for f in fracs:
             s_t = abs(math.sin(math.radians(float(max_angle_deg * f)))) \
                 + 2.0 * f * float(proj_budget) * dim
-            t = _terms_from_slope(s_t)
+            t = _terms_from_slope(s_t, th, tw)
             if t == terms_l or any(t == p[0] for p in tiers):
                 continue
             pred = (pb < 0.5) & (ry_act <= float(t[0] - 2)) \
@@ -464,4 +488,5 @@ def warp_homography_u8(img: jnp.ndarray, h_mat: jnp.ndarray,
         tiers.append((terms_l, None))
     return _warp_u8_impl(img, mvec8, out_h, out_w, border_mode,
                          border_value, s_env, max_shift, tiers,
-                         projective=True, interpret=interpret)
+                         projective=True, interpret=interpret,
+                         th=th, tw=tw)
