@@ -130,14 +130,20 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
             r = jnp.clip(ridx, 0, n_hi * 128 - 1)
             hi = r // 128
             lo = r % 128
+            # int8 one-hots with i32 accumulation: the cost here is
+            # MATERIALIZING the (T, K, n_hi + 128) one-hot operands, not
+            # the matmul — i8 halves that traffic vs bf16, and 0/1
+            # weights make every count integer-exact in i32 (measured
+            # 0.66 -> ~0.4 ms at the 16k cap on the roll probe).
             whi = (hi[:, :, None] == jnp.arange(n_hi)[None, None, :]
-                   ).astype(jnp.bfloat16) \
-                * vals.astype(jnp.bfloat16)[None, :, None]
+                   ).astype(jnp.int8) \
+                * vals.astype(jnp.int8)[None, :, None]
             wlo = (lo[:, :, None] == jnp.arange(128)[None, None, :]
-                   ).astype(jnp.bfloat16)
+                   ).astype(jnp.int8)
             a = jnp.einsum("tph,tpl->thl", whi, wlo,
-                           preferred_element_type=jnp.float32)
-            return a.reshape(n_theta, n_hi * 128)[:, :n_rho]
+                           preferred_element_type=jnp.int32)
+            return a.astype(jnp.float32).reshape(
+                n_theta, n_hi * 128)[:, :n_rho]
         return sparse_acc
 
     if impl == "dense" or max_edges >= h * w:
@@ -150,15 +156,24 @@ def hough_lines(edges: jnp.ndarray, rho: float = 1.0,
         # count, so the result is identical whichever branch runs.
         n_edges = jnp.sum((edges > 0).astype(jnp.int32))
         cap_s = max_edges // 4
+        cap_m = max_edges // 2
 
         def full_or_dense(_):
             return jax.lax.cond(n_edges <= max_edges,
                                 make_sparse_acc(max_edges), dense_acc,
                                 None)
 
+        def mid_or_full(_):
+            # Half-capacity rung: typical roll frames carry 4-8k edges
+            # against the 16k cap — without this rung they fall straight
+            # from the quarter cap to the FULL table (4x the one-hot
+            # traffic of what the count needs).
+            return jax.lax.cond(n_edges <= cap_m, make_sparse_acc(cap_m),
+                                full_or_dense, None)
+
         if cap_s >= 128:
             acc = jax.lax.cond(n_edges <= cap_s, make_sparse_acc(cap_s),
-                               full_or_dense, None)
+                               mid_or_full, None)
         else:
             acc = full_or_dense(None)
     acc = acc.T  # (n_rho, n_theta)
