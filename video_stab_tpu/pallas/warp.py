@@ -64,6 +64,16 @@ def _pick_tile(s_env: float) -> tuple[int, int]:
         return TH_NARROW, TW_NARROW
     return TH, TW
 
+# Tier-table envelope fractions (smallest-first; the full envelope is
+# always appended). Tap MACs scale ~frac^2, so the ladder's granularity
+# sets how much a mid-size rotation overpays: the fused chain holds a
+# SUSTAINED horizon tilt (often 1-3 deg inside a 13-18 deg envelope),
+# which with the coarse ladder landed on the env/4 table every frame —
+# wide envelopes get extra rungs so the composed angle pays close to its
+# own table.
+TIER_FRACS = (0.0625, 0.25)
+TIER_FRACS_WIDE = (0.0625, 0.125, 0.1875, 0.25, 0.375)
+
 # Projective allowance |g|,|h| of warp_homography_u8's static envelope.
 PROJ_BUDGET_DEFAULT = 5e-6
 
@@ -393,7 +403,7 @@ def warp_affine_u8(img: jnp.ndarray, m: jnp.ndarray,
         rx_act = jnp.abs(mf6[1]) * (th - 1) + jnp.abs(mf6[0] - 1.0) * tw
         # env/16 included at every envelope: steady-state stabilizer
         # corrections are ~0.05-0.2 deg, inside the 3x3-tap table.
-        fracs = (0.0625, 0.25)
+        fracs = TIER_FRACS if max_angle_deg <= 8.0 else TIER_FRACS_WIDE
         tiers = []
         for f in fracs:
             t = _envelope_terms(max_angle_deg * f, th, tw)
