@@ -152,6 +152,37 @@ class TestWarpKernel:
             assert not np.any((out == 0) & (ref_u8 > 64))
 
 
+    def test_wide_tile_geometry_above_threshold(self):
+        """Envelopes past the narrow-tile threshold (sin 13 deg) keep the
+        (64, 128) tile geometry (the (64, 256) tile scoped-VMEM-OOMs on
+        real Mosaic at 15 deg); both tile shapes must produce the same
+        pixels as the gather reference. Pins the round-4 envelope-keyed
+        _pick_tile split on its WIDE side (the narrow side is covered by
+        every default-envelope test and the 13-deg edge-rows test)."""
+        from video_stab_tpu.ops.warp import warp_affine
+        from video_stab_tpu.pallas.warp import _pick_tile, warp_affine_u8
+        assert _pick_tile(np.sin(np.radians(15.0))) == (64, 128)
+        assert _pick_tile(np.sin(np.radians(13.0))) == (64, 256)
+        rng = np.random.default_rng(7)
+        h, w = 80, 300
+        img = jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        ang = np.radians(11.0)
+        cx, cy = w / 2.0, h / 2.0
+        m = jnp.array(
+            [[np.cos(ang), -np.sin(ang),
+              (1 - np.cos(ang)) * cx + np.sin(ang) * cy],
+             [np.sin(ang), np.cos(ang),
+              -np.sin(ang) * cx + (1 - np.cos(ang)) * cy]], jnp.float32)
+        ref = np.asarray(warp_affine(img.astype(jnp.float32), m))
+        ref_u8 = np.clip(np.round(ref), 0, 255).astype(np.int64)
+        near_tie = np.abs(ref - np.floor(ref) - 0.5) < 2e-2
+        out = np.asarray(warp_affine_u8(
+            img, m, max_angle_deg=15.0, interpret=True)).astype(np.int64)
+        d = np.abs(out - ref_u8)
+        assert d[~near_tie].max() == 0, d[~near_tie].max()
+        assert d.max() <= 1
+
+
 class TestWarpKernelBranches:
     """The runtime small-rotation branch (3x fewer taps) and the
     half-to-even tie rounding contract."""
