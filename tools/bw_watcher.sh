@@ -16,6 +16,11 @@
 set -u
 cd "$(dirname "$0")/.."
 PROBES=${PROBES:-20}
+# Hard deadline (unix ts): never LAUNCH a bench after this — a watcher
+# bench overlapping the driver's round-end capture would contend on
+# .bench_lock and could push the OFFICIAL record past its outer timeout
+# (the exact null-record failure round 3 suffered). Default 0 = no limit.
+DEADLINE_TS=${DEADLINE_TS:-0}
 
 probe_bw() {
   timeout 180 python - <<'EOF'
@@ -41,6 +46,10 @@ EOF
 for i in $(seq 1 "$PROBES"); do
   if [ -f BENCH_r04.json ]; then
     echo "[bw_watcher] driver round-end record exists; exiting"
+    exit 0
+  fi
+  if [ "$DEADLINE_TS" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE_TS" ]; then
+    echo "[bw_watcher] deadline reached; yielding the chip to the driver"
     exit 0
   fi
   if probe_bw; then
