@@ -2,11 +2,13 @@
 # One-shot TPU-window validation sequence. Run (in the background, logged)
 # the moment the axon tunnel returns; every step logs under /tmp/tpu_window
 # so the results survive a dead session. Order matters:
-#   1. warp_probe  — first real Mosaic compile of the tier-table-in-kernel
-#                    warp (commit 7db3e64). Expect ~0.55-0.6 ms/warp
-#                    (round-3 validated single-tier: 0.5985 ms @ 5adc53f).
-#                    If the COMPILE fails, revert to the cond cascade
-#                    (git revert 7db3e64) before benching.
+#   1. warp_probe  — Mosaic compile + speed check of the tier-table warp.
+#                    Round-4 expectation: ~0.48 ms/warp at 1080p env=3
+#                    (envelope-keyed (64,256) tile, commit f8a381e; the
+#                    round-3 7db3e64 kernel measured 0.572 when first
+#                    validated in round 4). If the COMPILE fails, the
+#                    VSTAB_WARP_SINGLE_TIER=1 hatch below forces the
+#                    validated single-tier structure before benching.
 #   2. profile_step — per-stage step breakdown (regression scan).
 #   3. bench.py     — the official-artifact program: 1080p headline + 4K /
 #                     multi / chain children + p50 + delivered + e2e.
