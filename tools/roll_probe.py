@@ -1,4 +1,11 @@
-"""Roll-correction stage cost split at 1080p (analysis at 0.25 scale)."""
+"""Roll-correction stage cost split at 1080p (analysis at 0.25 scale).
+
+K must be large enough to amortize the per-call tunnel overhead: at K=60
+the scan-harness floor alone measures ~0.19 ms/frame (≈11 ms per compiled
+call through the axon tunnel), which inflated the round-4 roll ledger
+(DESIGN.md 5d-decies). Run mode `floor` to see the harness floor and
+subtract it mentally from any stage number.
+"""
 import os
 import sys
 import time
@@ -24,7 +31,7 @@ from video_stab_tpu.ops.color import bgr_to_gray
 from video_stab_tpu.ops.hough import hough_lines
 from video_stab_tpu.ops.resize import resize_bilinear
 
-K = 60
+K = 600
 pool = _make_pool(1080, 1920)
 params = RollCorrectionParams()
 gray = resize_bilinear(bgr_to_gray(jnp.asarray(pool[0], jnp.float32)),
@@ -37,6 +44,8 @@ mode = sys.argv[1] if len(sys.argv) > 1 else "full"
 
 def scan(c0):
     def body(c, i):
+        if mode == "floor":
+            return c, jnp.sum(c + 0.0 * i.astype(jnp.float32))
         if mode == "canny":
             e = canny_edges(c + 0.0 * i.astype(jnp.float32), 50.0, 150.0)
             return c, jnp.sum(e.astype(jnp.float32))

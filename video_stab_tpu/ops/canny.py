@@ -30,7 +30,15 @@ def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 def canny_edges(gray: jnp.ndarray, threshold_low: float = 50.0,
                 threshold_high: float = 150.0, hysteresis_iters: int = 16,
                 l2_gradient: bool = False) -> jnp.ndarray:
-    """Binary edge map (0/255 float32) of a (H, W) u8-domain grayscale image."""
+    """Binary edge map (0/255 float32) of a (H, W) u8-domain grayscale image.
+
+    Stays in plain XLA deliberately: a fused Pallas front (sobel+NMS+
+    thresholds in one kernel) was built and Mosaic-validated in round 4 and
+    measured NO faster — with tunnel per-call overhead amortized (K=600
+    chained-scan frames) the whole XLA canny is ~0.05 ms at roll-analysis
+    size, and the kernel's pad/crop bookkeeping costs more than the ~20
+    small ops it removes (DESIGN.md 5d-decies).
+    """
     gx, gy = sobel(gray)
     if l2_gradient:
         mag = jnp.sqrt(gx * gx + gy * gy)
@@ -60,15 +68,23 @@ def canny_edges(gray: jnp.ndarray, threshold_low: float = 50.0,
 
     strong = is_max & (mag > threshold_high)
     weak = is_max & (mag > threshold_low)
+    return _hysteresis(strong.astype(jnp.float32), weak.astype(jnp.float32),
+                       hysteresis_iters, gray.dtype)
 
+
+def _hysteresis(strong_f: jnp.ndarray, weak_f: jnp.ndarray,
+                hysteresis_iters: int, out_dtype) -> jnp.ndarray:
+    """Bounded fixpoint of dilate(strong) & weak over 0/1 f32 maps.
+
+    Each pass is a 3x3 binary dilation masked by `weak`. One reduce_window
+    max IS that dilation (values are {0,1}; 'SAME' padding contributes the
+    0.0 init, matching zero-masked shifts) — 1 op per pass instead of 8
+    roll+mask chains.
+    """
     def grow(_, s):
-        grown = s
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if (dy, dx) == (0, 0):
-                    continue
-                grown = grown | (_shift(s.astype(jnp.float32), dy, dx) > 0)
-        return grown & weak
+        grown = jax.lax.reduce_window(s, 0.0, jax.lax.max, (3, 3), (1, 1),
+                                      "SAME")
+        return grown * weak_f
 
-    edges = jax.lax.fori_loop(0, hysteresis_iters, grow, strong)
-    return jnp.where(edges, 255.0, 0.0).astype(gray.dtype)
+    edges = jax.lax.fori_loop(0, hysteresis_iters, grow, strong_f)
+    return jnp.where(edges > 0, 255.0, 0.0).astype(out_dtype)
