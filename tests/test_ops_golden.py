@@ -37,6 +37,51 @@ class TestColor:
         dh = np.minimum(dh, 180.0 - dh)
         assert np.percentile(dh, 95) < 2.0
 
+    def test_bgr_to_i420_matches_bt601_reference(self):
+        """Pixel-exact vs an independent numpy BT.601 limited-range
+        implementation (the colorspace swscale feeds libx264; see
+        test_codec.py::test_encode_yuv_matches_bgr_path for the
+        encoder-path equivalence)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(11)
+        h, w = 48, 64
+        bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = np.asarray(ops.bgr_to_i420(jnp.asarray(bgr)))
+        assert got.shape == (h * 3 // 2, w) and got.dtype == np.uint8
+
+        f = bgr.astype(np.float32)
+        y = (f @ np.array([25.064, 129.057, 65.738], np.float32)) / 256 + 16
+        u = (f @ np.array([112.439, -74.494, -37.945], np.float32)) / 256 + 128
+        v = (f @ np.array([-18.285, -94.154, 112.439], np.float32)) / 256 + 128
+        u = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        v = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+        def sat(x):
+            return np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+
+        ref = np.concatenate([sat(y), sat(u).reshape(h // 4, w),
+                              sat(v).reshape(h // 4, w)], axis=0)
+        # f32 associativity can flip an exact .5 by one ulp; allow <=1.
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+    def test_i420_roundtrip_smooth(self):
+        """bgr->i420->bgr recovers smooth content to within chroma
+        subsampling error (a few counts)."""
+        import jax.numpy as jnp
+        h, w = 64, 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        bgr = np.stack([(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256],
+                       axis=-1).astype(np.uint8)
+        i420 = ops.bgr_to_i420(jnp.asarray(bgr))
+        back = np.asarray(ops.i420_to_bgr(i420, h))
+        err = np.abs(back - bgr.astype(np.float32))
+        assert err.mean() < 1.5 and err.max() < 6.0, (err.mean(), err.max())
+
+    def test_i420_rejects_odd_sizes(self):
+        import jax.numpy as jnp
+        with pytest.raises(ValueError):
+            ops.bgr_to_i420(jnp.zeros((30, 40, 3), jnp.uint8))
+
     def test_lab_roundtrip(self):
         img = make_bgr(16, 20, seed=6)
         back = np.asarray(ops.lab_to_bgr(ops.bgr_to_lab(img)))

@@ -78,6 +78,14 @@ class ChainParams(NamedTuple):
     # (border_pad > 0).
     fuse_roll: bool = True
 
+    # Delivered-frame pixel format: "bgr" (HWC u8, cv::Mat convention) or
+    # "i420" ((H*3/2, W) u8 planar YUV420, BT.601 limited range) — the
+    # colorspace conversion then runs ON DEVICE as part of the same XLA
+    # program, halving the device->host payload and removing the host
+    # swscale pass the encoder otherwise runs per frame
+    # (io/codec.VideoEncoder.encode_yuv consumes it directly).
+    output_format: str = "bgr"
+
     # Max composed-roll envelope the fused emit warp budgets for: its tap
     # tables and pads scale with sin(envelope), and a wide-open acceptance
     # band (the reference config ships angle_filter_max: 70) would explode
@@ -217,6 +225,15 @@ def _pre_stages_fused(params: ChainParams, state: ChainState,
     return roll_state, f_u8, alpha, gray_rot
 
 
+def _deliver(params: ChainParams, out_u8: jnp.ndarray) -> jnp.ndarray:
+    """Delivered-format epilogue: the on-device colorspace fold for
+    output_format="i420" (half the D2H bytes, no host swscale)."""
+    if params.output_format == "i420":
+        from video_stab_tpu.ops.color import bgr_to_i420
+        return bgr_to_i420(saturate_u8(out_u8))
+    return out_u8
+
+
 def chain_init_step_fn(params: ChainParams, state: ChainState,
                        frame_u8: jnp.ndarray) -> ChainState:
     if params.roll_fusion_active:
@@ -246,7 +263,8 @@ def chain_gated_step_fn(params: ChainParams, state: ChainState,
         stab, _metrics = stabilizer_analyze_step_fn(
             sp, state.stab, f, aux_roll=alpha, analysis_gray=gray_rot)
         stab, out, ready = stabilizer_emit_gated_fn(sp, stab)
-        return ChainState(roll=roll_state, stab=stab), out, ready
+        return (ChainState(roll=roll_state, stab=stab),
+                _deliver(params, out), ready)
     roll_state, f = _pre_stages(params, state, frame_u8)
     if params.mode.stabilizer_enabled:
         stab, _metrics = stabilizer_analyze_step_fn(
@@ -254,7 +272,7 @@ def chain_gated_step_fn(params: ChainParams, state: ChainState,
         stab, out, ready = stabilizer_emit_gated_fn(params.stabilizer, stab)
     else:
         stab, out, ready = state.stab, f, jnp.asarray(True)
-    return ChainState(roll=roll_state, stab=stab), out, ready
+    return ChainState(roll=roll_state, stab=stab), _deliver(params, out), ready
 
 
 def chain_step_fn(params: ChainParams, state: ChainState,
@@ -307,11 +325,15 @@ class ProcessingChain:
     def __init__(self, mode: ModeParams, enhancer: EnhancerParams,
                  roll: RollCorrectionParams, stabilizer: StabilizerParams,
                  azc: Optional[AutoZoomCropParams] = None,
-                 pipelined: bool = False, fuse_roll: bool = True):
+                 pipelined: bool = False, fuse_roll: bool = True,
+                 output_format: str = "bgr"):
+        if output_format not in ("bgr", "i420"):
+            raise ValueError(f"unknown output_format {output_format!r}")
         self.params = ChainParams(mode=mode, enhancer=enhancer, roll=roll,
                                   stabilizer=stabilizer,
                                   azc=azc or AutoZoomCropParams(),
-                                  fuse_roll=fuse_roll)
+                                  fuse_roll=fuse_roll,
+                                  output_format=output_format)
         self.pipelined = pipelined
         self._pending = None
         self._state: Optional[ChainState] = None

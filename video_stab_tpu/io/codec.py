@@ -63,6 +63,10 @@ def _load():
         lib.vs_enc_encode.restype = c.c_int
         lib.vs_enc_encode.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
                                       c.c_char_p, c.c_int, c.POINTER(c.c_int)]
+        lib.vs_enc_encode_yuv.restype = c.c_int
+        lib.vs_enc_encode_yuv.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
+                                          c.c_char_p, c.c_int,
+                                          c.POINTER(c.c_int)]
         lib.vs_enc_flush.restype = c.c_int
         lib.vs_enc_flush.argtypes = [c.c_void_p, c.c_char_p, c.c_int,
                                      c.POINTER(c.c_int)]
@@ -84,6 +88,8 @@ def _load():
                                     c.c_int64, c.c_char_p, c.c_int, c.c_int]
         lib.vs_mux_write.restype = c.c_int
         lib.vs_mux_write.argtypes = [c.c_void_p, c.c_char_p]
+        lib.vs_mux_write_yuv.restype = c.c_int
+        lib.vs_mux_write_yuv.argtypes = [c.c_void_p, c.c_char_p]
         lib.vs_mux_bytes_out.restype = c.c_int64
         lib.vs_mux_bytes_out.argtypes = [c.c_void_p]
         lib.vs_mux_close.restype = c.c_int
@@ -169,6 +175,25 @@ class VideoEncoder:
         key = ctypes.c_int(0)
         n = self._lib.vs_enc_encode(
             self._h, frame_bgr.ctypes.data_as(ctypes.c_char_p),
+            int(force_key), self._buf, self._cap, ctypes.byref(key))
+        if n < 0:
+            raise RuntimeError(f"encode failed ({n})")
+        self.frames_in += 1
+        self.last_was_key = bool(key.value)
+        return self._buf.raw[:n]
+
+    def encode_yuv(self, frame_i420: np.ndarray,
+                   force_key: bool = False) -> bytes:
+        """Encode one planar I420 frame: (H*3/2, W) u8 (ops.color.bgr_to_i420
+        layout) or any contiguous H*W*3/2-byte buffer. Skips the BGR->YUV
+        swscale pass entirely — the half-size payload the device emits in
+        i420 output mode goes straight into libx264."""
+        frame_i420 = np.ascontiguousarray(frame_i420, dtype=np.uint8)
+        expect = self.height * self.width * 3 // 2
+        assert frame_i420.size == expect, (frame_i420.shape, expect)
+        key = ctypes.c_int(0)
+        n = self._lib.vs_enc_encode_yuv(
+            self._h, frame_i420.ctypes.data_as(ctypes.c_char_p),
             int(force_key), self._buf, self._cap, ctypes.byref(key))
         if n < 0:
             raise RuntimeError(f"encode failed ({n})")
@@ -295,6 +320,16 @@ class ContainerWriter:
         assert frame_bgr.shape == (self.height, self.width, 3)
         rc = self._lib.vs_mux_write(
             self._h, frame_bgr.ctypes.data_as(ctypes.c_char_p))
+        if rc != 0:
+            raise RuntimeError(f"mux write failed ({rc})")
+        self.frames_written += 1
+
+    def write_yuv(self, frame_i420: np.ndarray) -> None:
+        """Encode + mux one planar I420 frame (see VideoEncoder.encode_yuv)."""
+        frame_i420 = np.ascontiguousarray(frame_i420, dtype=np.uint8)
+        assert frame_i420.size == self.height * self.width * 3 // 2
+        rc = self._lib.vs_mux_write_yuv(
+            self._h, frame_i420.ctypes.data_as(ctypes.c_char_p))
         if rc != 0:
             raise RuntimeError(f"mux write failed ({rc})")
         self.frames_written += 1

@@ -173,6 +173,44 @@ int vs_enc_encode(void *handle, const uint8_t *bgr, int force_key,
   return drain_packets(e->ctx, e->pkt, out, out_cap, is_key, &e->bytes_out);
 }
 
+namespace {
+
+// Copy a contiguous planar I420 buffer (Y: h*w, U: h/2*w/2, V: h/2*w/2)
+// into the encoder's AVFrame, honoring its linesizes.
+void copy_i420_to_frame(AVFrame *f, const uint8_t *i420, int w, int h) {
+  const uint8_t *y = i420;
+  const uint8_t *u = y + (size_t)w * h;
+  const uint8_t *v = u + (size_t)(w / 2) * (h / 2);
+  for (int r = 0; r < h; ++r)
+    std::memcpy(f->data[0] + (size_t)r * f->linesize[0], y + (size_t)r * w, w);
+  for (int r = 0; r < h / 2; ++r) {
+    std::memcpy(f->data[1] + (size_t)r * f->linesize[1],
+                u + (size_t)r * (w / 2), w / 2);
+    std::memcpy(f->data[2] + (size_t)r * f->linesize[2],
+                v + (size_t)r * (w / 2), w / 2);
+  }
+}
+
+}  // namespace
+
+// Encode one planar I420 frame (height*width*3/2 bytes: Y then U then V) —
+// the device-side bgr_to_i420 epilogue's native sink. No swscale pass: the
+// buffer is already in the encoder's pixel format (AV_PIX_FMT_YUV420P, the
+// native input of x264 — the same contract as the reference's x264enc /
+// NV12M V4L2 plane, src/RTSPServer.cpp:79-92, examples/JetsonEncoder.cpp:43).
+// Same return contract as vs_enc_encode.
+int vs_enc_encode_yuv(void *handle, const uint8_t *i420, int force_key,
+                      uint8_t *out, int out_cap, int *is_key) {
+  Encoder *e = (Encoder *)handle;
+  if (is_key) *is_key = 0;
+  if (av_frame_make_writable(e->frame) < 0) return -1;
+  copy_i420_to_frame(e->frame, i420, e->width, e->height);
+  e->frame->pts = e->pts++;
+  e->frame->pict_type = force_key ? AV_PICTURE_TYPE_I : AV_PICTURE_TYPE_NONE;
+  if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;
+  return drain_packets(e->ctx, e->pkt, out, out_cap, is_key, &e->bytes_out);
+}
+
 // Drain the encoder at end of stream. Returns bytes written (0 when fully
 // drained) or <0 on error. Call repeatedly until it returns 0.
 int vs_enc_flush(void *handle, uint8_t *out, int out_cap, int *is_key) {
@@ -397,6 +435,19 @@ int vs_mux_write(void *handle, const uint8_t *bgr) {
   int src_stride[1] = {e->width * 3};
   sws_scale(e->sws, src, src_stride, 0, e->height, e->frame->data,
             e->frame->linesize);
+  e->frame->pts = e->pts++;
+  e->frame->pict_type = AV_PICTURE_TYPE_NONE;
+  if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;
+  m->frames++;
+  return mux_drain(m, false);
+}
+
+// Encode + mux one planar I420 frame (no swscale; see vs_enc_encode_yuv).
+int vs_mux_write_yuv(void *handle, const uint8_t *i420) {
+  Muxer *m = (Muxer *)handle;
+  Encoder *e = m->enc;
+  if (av_frame_make_writable(e->frame) < 0) return -1;
+  copy_i420_to_frame(e->frame, i420, e->width, e->height);
   e->frame->pts = e->pts++;
   e->frame->pict_type = AV_PICTURE_TYPE_NONE;
   if (avcodec_send_frame(e->ctx, e->frame) < 0) return -1;

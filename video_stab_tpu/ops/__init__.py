@@ -12,6 +12,8 @@ from video_stab_tpu.ops.color import (
     hsv_to_bgr,
     bgr_to_lab,
     lab_to_bgr,
+    bgr_to_i420,
+    i420_to_bgr,
     saturate_u8,
 )
 from video_stab_tpu.ops.resize import resize_bilinear, pyr_down, build_pyramid

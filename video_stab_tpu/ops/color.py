@@ -73,6 +73,70 @@ def hsv_to_bgr(hsv: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([b, g, r], axis=-1)
 
 
+# BT.601 limited-range ("studio swing") RGB -> YCbCr, the colorspace the
+# host encoder consumes (AV_PIX_FMT_YUV420P; swscale's default matrix for
+# SD content). Device-side conversion halves the device->host payload
+# (12 bits/px I420 vs 24 bits/px BGR) and removes the per-frame host
+# sws_scale pass the encoder otherwise runs (native/codec.cpp vs_enc_encode;
+# reference: src/RTSPServer.cpp:79-92 — x264enc's native input is I420).
+_Y_W = (25.064, 129.057, 65.738)      # B, G, R weights, /256, +16
+_U_W = (112.439, -74.494, -37.945)    # B, G, R weights, /256, +128
+_V_W = (-18.285, -94.154, 112.439)    # B, G, R weights, /256, +128
+
+
+def bgr_to_i420(bgr_u8: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) u8 BGR -> (H*3/2, W) u8 planar I420 (BT.601 limited range).
+
+    The output's flat bytes are exactly an I420 buffer: Y plane (H rows),
+    then the (H/2, W/2) U plane packed two half-rows per output row, then V
+    likewise — what ``VideoEncoder.encode_yuv`` / libx264 consume with no
+    host-side colorspace pass. Requires H % 4 == 0 and W % 2 == 0 (every
+    standard video size; pad otherwise).
+
+    Chroma is 2x2 box-averaged from the per-pixel Cb/Cr (swscale's default
+    center siting approximation). Rounding is round-half-away (the u8
+    saturate convention used across ops/).
+    """
+    h, w = bgr_u8.shape[0], bgr_u8.shape[1]
+    if h % 4 or w % 2:
+        raise ValueError(f"I420 needs H%4==0 and W%2==0, got {h}x{w}")
+    f = bgr_u8.astype(jnp.float32)
+    y = f @ jnp.asarray(_Y_W, jnp.float32) * (1.0 / 256.0) + 16.0
+    u = f @ jnp.asarray(_U_W, jnp.float32) * (1.0 / 256.0) + 128.0
+    v = f @ jnp.asarray(_V_W, jnp.float32) * (1.0 / 256.0) + 128.0
+    # 2x2 chroma subsample (box average).
+    u = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    v = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    def _u8(x):
+        return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0).astype(jnp.uint8)
+
+    return jnp.concatenate(
+        [_u8(y), _u8(u).reshape(h // 4, w), _u8(v).reshape(h // 4, w)],
+        axis=0)
+
+
+def i420_to_bgr(i420_u8: jnp.ndarray, height: int) -> jnp.ndarray:
+    """Inverse of :func:`bgr_to_i420` (nearest-neighbor chroma upsample).
+
+    Used by tests and the preview path; the production decode path stays in
+    the native decoder (libswscale)."""
+    h = height
+    w = i420_u8.shape[1]
+    y = i420_u8[:h].astype(jnp.float32) - 16.0
+    u = i420_u8[h:h + h // 4].reshape(h // 2, w // 2).astype(jnp.float32)
+    v = i420_u8[h + h // 4:].reshape(h // 2, w // 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=0), 2, axis=1) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=0), 2, axis=1) - 128.0
+    # Inverse of the limited-range matrix above (255/219 luma, 255/224
+    # chroma scale; Kr=0.299, Kb=0.114).
+    yl = y * (255.0 / 219.0)
+    r = yl + 1.596027 * v
+    g = yl - 0.391762 * u - 0.812968 * v
+    b = yl + 2.017232 * u
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
+
+
 def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
 
