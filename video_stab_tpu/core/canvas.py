@@ -27,6 +27,10 @@ from video_stab_tpu.ops.filters import gaussian_blur
 from video_stab_tpu.ops.warp import (BORDER_CONSTANT, invert_affine,
                                      similarity_matrix, warp_affine_fast)
 
+# A canvas pixel whose recency weight decayed below this no longer counts
+# as history (the deque-eviction analog; see virtual_canvas_apply).
+_HIST_EPS = 0.05
+
 
 def coverage_analytic(m: jnp.ndarray, src_h: int, src_w: int,
                       out_h: int, out_w: int) -> jnp.ndarray:
@@ -51,8 +55,42 @@ def coverage_analytic(m: jnp.ndarray, src_h: int, src_w: int,
 
 
 def canvas_shape(params, height: int, width: int) -> tuple[int, int]:
+    """Static allocation size. With adaptive_canvas_size the allocation
+    covers the LARGEST admissible scale (max_canvas_scale,
+    Stabilizer.cpp:2305 clamp) and the runtime-chosen active scale masks a
+    central window of it — static shapes under jit."""
     s = params.canvas_scale_factor
+    if getattr(params, "adaptive_canvas_size", False):
+        s = max(s, params.max_canvas_scale)
     return int(round(height * s)), int(round(width * s))
+
+
+def adaptive_canvas_scale(params, trans_ring: jnp.ndarray,
+                          n_path: jnp.ndarray, prev_scale: jnp.ndarray,
+                          emit_idx: jnp.ndarray) -> jnp.ndarray:
+    """Active canvas scale — calculateOptimalCanvasSize
+    (Stabilizer.cpp:2281-2306): max translation magnitude over the last
+    <=30 transforms, mapped to scale = csf + (max(1, maxMotion/50) - 1)*0.5,
+    clamped to [min_canvas_scale, max_canvas_scale]. Like the reference
+    (which only re-computes when the canvas is re-created, 2071-2077) the
+    scale FREEZES after the first canvas use: prev_scale > 0 keeps it."""
+    if not getattr(params, "adaptive_canvas_size", False):
+        return jnp.float32(params.canvas_scale_factor)
+    window = 30
+    offs = jnp.arange(window)
+    start = jnp.maximum(0, n_path - window)
+    idx = start + offs
+    valid = (idx <= n_path - 1).astype(jnp.float32)
+    ring = trans_ring.shape[0]
+    vals = trans_ring[jnp.clip(idx, 0, None) % ring]          # (30, C)
+    mag = jnp.sqrt(vals[:, 0] ** 2 + vals[:, 1] ** 2) * valid
+    max_motion = jnp.max(mag)
+    factor = jnp.maximum(1.0, max_motion / 50.0)
+    scale = params.canvas_scale_factor + (factor - 1.0) * 0.5
+    scale = jnp.clip(scale, params.min_canvas_scale,
+                     params.max_canvas_scale)
+    return jnp.where(prev_scale > 0.0, prev_scale,
+                     scale).astype(jnp.float32)
 
 
 def canvas_init_value(params, height: int, width: int):
@@ -63,10 +101,15 @@ def canvas_init_value(params, height: int, width: int):
 
 def virtual_canvas_apply(params, canvas: jnp.ndarray, weight: jnp.ndarray,
                          frame_f32: jnp.ndarray, correction: jnp.ndarray,
+                         active_scale=None,
                          ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One canvas update + composite.
 
     frame_f32: (H, W, 3); correction: (3,) stabilizing (dx, dy, da).
+    active_scale: optional traced scalar — the adaptive canvas scale
+    (adaptive_canvas_scale); history outside the central
+    (H*scale, W*scale) window is masked off, reproducing the reference's
+    smaller-canvas semantics on the statically-allocated array.
     Returns (new_canvas, new_weight, out_frame (H, W, 3)).
     """
     h, w = frame_f32.shape[:2]
@@ -111,22 +154,42 @@ def virtual_canvas_apply(params, canvas: jnp.ndarray, weight: jnp.ndarray,
 
     # Canvas refresh: covered pixels adopt the new frame (weighted by
     # canvas_blend_weight against history for temporal smoothness); empty
-    # pixels keep history (the "temporal fill").
+    # pixels keep history (the "temporal fill"). The weight doubles as a
+    # RECENCY track: it decays so that an un-refreshed pixel falls below
+    # the history threshold after ~temporal_buffer_size frames — the
+    # running-canvas analog of the reference's 30-frame history deque
+    # eviction (temporalFrameBuffer_, Stabilizer.cpp:2153-2167).
     bw = params.canvas_blend_weight
-    has_hist = weight > 0.0
+    tbs = max(1, int(getattr(params, "temporal_buffer_size", 30)))
+    decay = _HIST_EPS ** (1.0 / tbs)
+    has_hist = weight > _HIST_EPS
     cov3 = coverage[:, :, None]
     refreshed = jnp.where(
         has_hist[:, :, None],
         bw * warped + (1.0 - bw) * canvas,
         warped)
     new_canvas = cov3 * refreshed + (1.0 - cov3) * canvas
-    new_weight = jnp.maximum(weight * 0.995, coverage)
+    new_weight = jnp.maximum(weight * decay, coverage)
+
+    if active_scale is not None:
+        # Adaptive active window: history may not live outside the central
+        # (h*scale, w*scale) rect — the statically-allocated canvas
+        # behaves exactly like the smaller one the reference would have
+        # created (content reaching past it is dropped, not banked).
+        ys = jnp.arange(hc, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(wc, dtype=jnp.float32)[None, :]
+        half_h = active_scale * h / 2.0
+        half_w = active_scale * w / 2.0
+        act = ((jnp.abs(ys - hc / 2.0) <= half_h)
+               & (jnp.abs(xs - wc / 2.0) <= half_w))
+        new_weight = jnp.where(act, new_weight, 0.0)
+        new_canvas = jnp.where(act[:, :, None], new_canvas, 0.0)
 
     # Seamless composite for the OUTPUT: blurred coverage as the blend alpha
     # (the reference's edge-radius blend, Stabilizer.cpp:2350-2398).
     sigma = max(params.edge_blend_radius / 3.0, 0.5)
     alpha = jnp.clip(gaussian_blur(coverage, sigma), 0.0, 1.0)
-    hist_valid = (weight > 0.0).astype(jnp.float32)
+    hist_valid = (weight > _HIST_EPS).astype(jnp.float32)
     # Where history exists, blend; where it doesn't, show the frame as-is.
     a = alpha + (1.0 - alpha) * (1.0 - hist_valid)
     composite = a[:, :, None] * warped + \

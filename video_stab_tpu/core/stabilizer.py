@@ -387,13 +387,33 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
         kx, kp, sm = jax.lax.cond(e == 0, init, step, None)
         return state._replace(kalman_x=kx, kalman_p=kp), sm
     # Box filter with adaptive radius (Stabilizer.cpp:808-823, 1139-1172).
+    # The variance-driven radius (calculateAdaptiveRadius's [5,25] band)
+    # is re-clamped by boxFilterConvolve's hardcoded mode band —
+    # [2,8] normal / [10,50] drone (Stabilizer.cpp:1143-1146) — which is
+    # the radius the reference actually smooths with. Under
+    # adaptive_smoothing=True the CONFIGURED band
+    # [min_smoothing_radius, max_smoothing_radius] (Stabilizer.h:115-116,
+    # "for adaptive mode"; their only reference consumer is the
+    # adaptiveSmoothing-gated adaptSmoothingRadius, Stabilizer.cpp:1461-93)
+    # replaces that hardcoded band — a documented deviation that makes the
+    # parameters live: in the reference the hardcoded [2,8] clamp crushes
+    # adaptSmoothingRadius's [min,max] mutation at every box emission.
+    # The static window bound is capped so the +-r_max emission window
+    # plus the look-ahead span stays inside the 128-slot path ring
+    # (state.py PATH_RING; 45 + 35 = 80 < 128, no slot aliasing).
     ar = adaptive_radius(state.path_ring, state.n_path, params.smoothing_radius)
-    if params.drone_high_freq_mode:
-        r = jnp.clip(ar, 10, 50)
-        r_max = 50
+    if params.adaptive_smoothing:
+        r_lo = max(1, int(params.min_smoothing_radius))
+        r_max = max(r_lo, min(int(params.max_smoothing_radius), 45))
+        if params.drone_high_freq_mode:
+            # Drone HF mode keeps its heavier floor (sustained vibration
+            # wants wide windows; the HF chain handles the fast residual).
+            r_lo = max(r_lo, 10)
+    elif params.drone_high_freq_mode:
+        r_lo, r_max = 10, 45
     else:
-        r = jnp.clip(ar, 2, 8)
-        r_max = 8
+        r_lo, r_max = 2, 8
+    r = jnp.clip(ar, r_lo, r_max)
     sm = box_filter_emit(state.path_ring, state.n_path, e, r, r_max)
     return state, sm
 
@@ -570,14 +590,22 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         out = resize_bilinear(cropped, h, w)
 
     canvas, canvas_weight = state.canvas, state.canvas_weight
+    canvas_scale = state.canvas_scale
     if params.enable_virtual_canvas and not params.crop_n_zoom \
             and params.motion_model != "homography":
         # Virtual canvas runs on the RAW queued frame with the stabilizing
         # transform (Stabilizer.cpp:1130-1134), replacing the plain warp
-        # output. See core/canvas.py for the TPU reformulation.
-        from video_stab_tpu.core.canvas import virtual_canvas_apply
+        # output. See core/canvas.py for the TPU reformulation. The active
+        # scale is decided at the first canvas use from recent motion when
+        # adaptive_canvas_size is on (Stabilizer.cpp:2077, 2281-2306) and
+        # frozen afterwards.
+        from video_stab_tpu.core.canvas import (adaptive_canvas_scale,
+                                                virtual_canvas_apply)
+        canvas_scale = adaptive_canvas_scale(
+            params, state.trans_ring, state.n_path, state.canvas_scale, e)
         canvas, canvas_weight, out = virtual_canvas_apply(
-            params, canvas, canvas_weight, frame, t_smooth)
+            params, canvas, canvas_weight, frame, t_smooth,
+            active_scale=canvas_scale)
 
     out_u8 = saturate_u8(out)
     new_state = state._replace(
@@ -586,6 +614,7 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         fade_count=fade_count,
         canvas=canvas,
         canvas_weight=canvas_weight,
+        canvas_scale=canvas_scale,
         envelope_exceeded=state.envelope_exceeded
         + exceeded.astype(jnp.int32),
     )
@@ -618,6 +647,7 @@ def stabilizer_emit_gated_fn(params: StabilizerParams, state: StabilizerState,
         fade_count=sel(new_state.fade_count, state.fade_count),
         canvas=sel(new_state.canvas, state.canvas),
         canvas_weight=sel(new_state.canvas_weight, state.canvas_weight),
+        canvas_scale=sel(new_state.canvas_scale, state.canvas_scale),
         envelope_exceeded=sel(new_state.envelope_exceeded,
                               state.envelope_exceeded),
     )

@@ -66,9 +66,15 @@ class StabilizerState(NamedTuple):
     fade_history: jnp.ndarray     # (H+2b, W+2b, 3) f32
     fade_count: jnp.ndarray       # int32
 
-    # Virtual canvas accumulator (dummy (1,1,3)/(1,1) when disabled)
+    # Virtual canvas accumulator (dummy (1,1,3)/(1,1) when disabled).
+    # Allocated at the LARGEST admissible scale (adaptive mode:
+    # max_canvas_scale); the ACTIVE window is the canvas_scale fraction.
     canvas: jnp.ndarray           # (Hc, Wc, 3) f32
     canvas_weight: jnp.ndarray    # (Hc, Wc) f32
+    # Active canvas scale, frozen at the first canvas use from recent
+    # motion when adaptive_canvas_size is on (calculateOptimalCanvasSize,
+    # Stabilizer.cpp:2077, 2281-2306). 0.0 = not yet decided.
+    canvas_scale: jnp.ndarray     # f32 scalar
 
     # Conditional-CLAHE feature starvation counter (Stabilizer.h:422)
     starvation_counter: jnp.ndarray  # int32
@@ -129,6 +135,7 @@ def stabilizer_state_init(params, height: int, width: int) -> StabilizerState:
         fade_count=jnp.int32(0),
         canvas=jnp.zeros((hc, wc, 3), jnp.float32),
         canvas_weight=jnp.zeros((hc, wc), jnp.float32),
+        canvas_scale=jnp.float32(0.0),
         starvation_counter=jnp.int32(0),
         envelope_exceeded=jnp.int32(0),
         key=jax.random.PRNGKey(params.seed),
