@@ -35,6 +35,7 @@ class TestOffline:
     @pytest.mark.parametrize("method,factor", [("box", 0.3),
                                                ("gaussian", 0.3),
                                                ("kalman", 0.7),
+                                               ("butterworth", 0.7),
                                                ("l1", 0.2)])
     def test_reduces_jitter(self, method, factor):
         clip = _clip()

@@ -255,7 +255,7 @@ def main(argv=None) -> int:
     ps.add_argument("--border-size", type=int, default=0, dest="border_size")
     ps.add_argument("--crop", action="store_true")
     ps.add_argument("--method", default="box",
-                    choices=["box", "gaussian", "kalman"])
+                    choices=["box", "gaussian", "kalman", "butterworth"])
     ps.set_defaults(fn=cmd_stabilize)
 
     po = sub.add_parser("offline", help="batch-stabilize a whole clip")
@@ -263,7 +263,8 @@ def main(argv=None) -> int:
     po.add_argument("output")
     po.add_argument("--radius", type=int, default=15)
     po.add_argument("--method", default="l1",
-                    choices=["box", "gaussian", "kalman", "l1"])
+                    choices=["box", "gaussian", "kalman", "butterworth",
+                             "l1"])
     po.add_argument("--border-size", type=int, default=0, dest="border_size")
     po.add_argument("--crop", action="store_true")
     po.add_argument("--max-frames", type=int, default=0, dest="max_frames")

@@ -105,6 +105,23 @@ def _smooth_path(params: StabilizerParams, path: jnp.ndarray) -> jnp.ndarray:
         b = float(params.border_size) if params.border_size > 0 else 20.0
         bound = jnp.asarray([b, b, 0.05], jnp.float32)
         return l1_smooth_path(path, bound)
+    if params.smoothing_method == "butterworth":
+        # Whole-path causal IIR cascade — the same 4-stage first-order
+        # chain the streaming path advances per emission
+        # (core/stabilizer.py; reference butterworthFilter,
+        # Stabilizer.cpp:2014-2041), scanned over the batch path.
+        from video_stab_tpu.motion.filters import butterworth_cascade
+        cutoffs = {"low": 0.05, "medium": 0.1, "high": 0.25,
+                   "adaptive": 0.15}
+        cutoff = cutoffs.get(params.jitter_frequency, 0.1)
+
+        def bstep(carry, z):
+            st, out = butterworth_cascade(carry, z, cutoff, 4)
+            return st, out
+
+        st0 = jnp.broadcast_to(path[0], (4, 3))
+        _, out = jax.lax.scan(bstep, st0, path[1:])
+        return jnp.concatenate([path[:1], out], axis=0)
     if params.smoothing_method == "kalman":
         def step(carry, z):
             x, p = carry
