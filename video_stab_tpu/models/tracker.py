@@ -8,9 +8,15 @@ DeepStreamTracker.cpp:74-131), ``draw_detections`` with sticky click
 selection, and ``pick_id_at``.
 
 Track association is NvDCF-flavored: per-track constant-velocity Kalman on
-(cx, cy, w, h) + greedy IoU matching + tentative/lost age management. The
-detector inference is the JAX CenterNet model (video_stab_tpu.models.
-detector) — batched and jitted; the association bookkeeping is host-side
+(cx, cy, w, h) + appearance-fused global-greedy matching (IoU gate, score
+= IoU + w * template NCC) + fragment IoM second-chance + NCC-only
+re-identification + tentative/lost age management. Each track keeps an
+EMA'd grayscale template patch — the cheap dense analog of NvDCF's
+per-track discriminative correlation filter (DeepStreamTracker.h:46-52) —
+so geometrically-confusable objects (crossing paths, bouncing apart while
+overlapped) keep their ids. The detector inference is the JAX CenterNet
+model (video_stab_tpu.models.detector) — batched and jitted; the NCC bank
+is one small host matmul and the association bookkeeping is host-side
 Python (tiny, branch-heavy — the wrong shape for the VPU by design).
 """
 
@@ -60,6 +66,18 @@ class TrackerParams:
     iou_threshold: float = 0.3
     max_lost_age: int = 10        # frames a track survives unmatched
     min_hits: int = 2             # detections before a track is confirmed
+    # Appearance model — the NvDCF discriminative-correlation analog
+    # (DeepStreamTracker.h:46-52): each track keeps an EMA'd grayscale
+    # template patch; candidate (track, det) pairs are scored by
+    # IoU + appearance_weight * NCC so two geometrically-confusable
+    # objects (crossing paths, bouncing apart) don't swap ids, and a
+    # lost track can re-lock onto a distant re-detection by NCC alone.
+    enable_appearance: bool = True
+    appearance_weight: float = 0.4
+    template_size: int = 24       # template patch side (px)
+    template_ema: float = 0.25    # new-patch weight at each refresh
+    reid_ncc_threshold: float = 0.55
+    reid_dist_gate: float = 3.0   # multiples of box diagonal from predict
 
 
 def _iou(a, b):
@@ -83,6 +101,61 @@ def _iom(a, b):
     return inter / smaller if smaller > 0 else 0.0
 
 
+def _extract_patch(gray: np.ndarray, bbox, size: int) -> Optional[np.ndarray]:
+    """(size, size) float32 crop of ``bbox`` from a grayscale frame, or
+    None when the clipped box is degenerate."""
+    import cv2
+    h, w = gray.shape[:2]
+    x, y, bw, bh = bbox
+    x0 = max(0, min(int(round(x)), w - 1))
+    y0 = max(0, min(int(round(y)), h - 1))
+    x1 = max(x0 + 1, min(int(round(x + bw)), w))
+    y1 = max(y0 + 1, min(int(round(y + bh)), h))
+    if x1 - x0 < 2 or y1 - y0 < 2:
+        return None
+    return cv2.resize(gray[y0:y1, x0:x1].astype(np.float32), (size, size))
+
+
+def _ncc_matrix(templates: List[Optional[np.ndarray]],
+                patches: List[Optional[np.ndarray]]) -> np.ndarray:
+    """(T, D) zero-mean normalized cross-correlation in [-1, 1].
+
+    One batched matmul over unit-normalized rows (the template bank and
+    detection patches stack into two small matrices) — the cheap dense
+    analog of NvDCF's per-track correlation filters. Rows/cols with no
+    patch or no contrast (norm ~ 0: a flat crop carries no identity
+    evidence) score 0 everywhere.
+    """
+    t, d = len(templates), len(patches)
+    if t == 0 or d == 0:
+        return np.zeros((t, d), np.float32)
+
+    def _bank(items):
+        flat = [p.ravel() for p in items if p is not None]
+        n = flat[0].size if flat else 1
+        rows = np.zeros((len(items), n), np.float32)
+        ok = np.zeros(len(items), bool)
+        for i, p in enumerate(items):
+            if p is None:
+                continue
+            v = p.ravel() - p.mean()
+            nv = np.linalg.norm(v)
+            if nv < 1e-3:
+                continue
+            rows[i] = v / nv
+            ok[i] = True
+        return rows, ok
+
+    tb, tok = _bank(templates)
+    pb, pok = _bank(patches)
+    if tb.shape[1] != pb.shape[1]:
+        return np.zeros((t, d), np.float32)
+    ncc = tb @ pb.T
+    ncc[~tok] = 0.0
+    ncc[:, ~pok] = 0.0
+    return ncc
+
+
 class _Track:
     """Constant-velocity Kalman on (cx, cy, w, h)."""
 
@@ -97,6 +170,21 @@ class _Track:
         self.hits = 1
         self.age = 0
         self.lost = 0
+        # Appearance template: EMA'd grayscale patch (the NvDCF
+        # correlation-filter analog). None until a frame is available.
+        self.template: Optional[np.ndarray] = None
+
+    def refresh_template(self, patch: Optional[np.ndarray], ema: float):
+        """EMA the stored template toward a fresh FULL-detection patch.
+        Fragment matches must NOT refresh (the sliver would poison the
+        template with occluder pixels) — callers only pass primary-match
+        patches."""
+        if patch is None:
+            return
+        if self.template is None:
+            self.template = patch.copy()
+        else:
+            self.template = (1.0 - ema) * self.template + ema * patch
 
     def predict(self):
         self.x[0] += self.x[4]
@@ -202,22 +290,75 @@ class ObjectTracker:
                 label=p.labels[c] if c < len(p.labels) else str(c)))
         self._total_ms += (time.perf_counter() - t0) * 1e3
         self._frame_count += 1
-        return self._associate(dets)
+        gray = (cv2.cvtColor(resized, cv2.COLOR_BGR2GRAY)
+                if resized.ndim == 3 else resized)
+        return self._associate(dets, gray=gray)
 
-    def _associate(self, dets: List[Detection]) -> List[Detection]:
+    def _associate(self, dets: List[Detection],
+                   gray: Optional[np.ndarray] = None) -> List[Detection]:
+        """One association round. ``gray`` is the processing-resolution
+        grayscale frame; when provided (and enable_appearance), candidate
+        pairs are scored by IoU + appearance_weight * NCC against each
+        track's template, and unmatched (lost-track, detection) pairs get
+        an NCC-only re-identification pass — the NvDCF shadow-track /
+        visual re-ID analog (DeepStreamTracker.h:46-52). Without a frame
+        the association is purely geometric (used by unit tests)."""
+        p = self.params
         for t in self._tracks:
             t.predict()
+        use_app = (gray is not None and p.enable_appearance
+                   and self._tracks and dets)
+        patches = ([_extract_patch(gray, d.bbox, p.template_size)
+                    for d in dets] if gray is not None else
+                   [None] * len(dets))
+        if use_app:
+            ncc = _ncc_matrix([t.template for t in self._tracks], patches)
+        else:
+            ncc = np.zeros((len(self._tracks), len(dets)), np.float32)
+
+        # Primary pass: GLOBAL greedy over fused scores (best pair first),
+        # IoU-gated. Appearance breaks the geometric ties a crossing
+        # creates: when both predicted boxes overlap both detections, the
+        # template match decides who is who.
+        iou_m = np.zeros((len(self._tracks), len(dets)), np.float32)
+        for ti, t in enumerate(self._tracks):
+            tb = t.bbox
+            for di, d in enumerate(dets):
+                iou_m[ti, di] = _iou(tb, d.bbox)
+        score = np.where(iou_m > p.iou_threshold,
+                         iou_m + p.appearance_weight * np.maximum(ncc, 0.0),
+                         -1.0)
+        has_t = np.array([t.template is not None for t in self._tracks],
+                         bool) if self._tracks else np.zeros(0, bool)
+        col_best = (np.where(has_t[:, None], ncc, -1.0).max(axis=0)
+                    if use_app and has_t.any()
+                    else np.full(len(dets), -1.0))
+        if use_app and has_t.any():
+            # Appearance veto: a detection whose patch matches some OTHER
+            # track's template far better (margin 0.3) is visually claimed
+            # by that track — geometry alone may not hand it to this one.
+            # This is what breaks the crossing swap: after two objects
+            # reverse course while overlapped, ONLY the wrong (crossed)
+            # pairs pass the IoU gate; the veto kills them and the NCC
+            # re-ID pass below re-locks the right identities. The margin
+            # keeps ordinary appearance drift (lighting, pose) from ever
+            # vetoing a genuine match — it fires only when a much better
+            # visual owner exists.
+            score = np.where(
+                has_t[:, None] & (col_best[None, :] - ncc > 0.3),
+                -1.0, score)
         unmatched = list(range(len(dets)))
         pairs = []
-        for ti, t in enumerate(self._tracks):
-            best, best_iou = -1, self.params.iou_threshold
-            for di in unmatched:
-                iou = _iou(t.bbox, dets[di].bbox)
-                if iou > best_iou:
-                    best, best_iou = di, iou
-            if best >= 0:
-                pairs.append((ti, best))
-                unmatched.remove(best)
+        free_t = set(range(len(self._tracks)))
+        while free_t and unmatched:
+            ti, di = np.unravel_index(int(np.argmax(score)), score.shape)
+            if score[ti, di] <= 0.0:
+                break
+            pairs.append((int(ti), int(di)))
+            free_t.discard(int(ti))
+            unmatched.remove(int(di))
+            score[ti, :] = -1.0
+            score[:, di] = -1.0
         # Second chance for unmatched tracks: an object re-emerging from
         # behind an occluder is detected as a FRAGMENT (the visible sliver
         # at the occluder's edge), whose IoU with the full-size predicted
@@ -237,19 +378,65 @@ class ObjectTracker:
                 # No class gate here: fragments routinely misclassify
                 # (the sliver of a car emerging past an occluder edge
                 # reads as another class), and the track's own class is
-                # majority-voted, so one fragment can't relabel it.
+                # majority-voted, so one fragment can't relabel it. The
+                # appearance veto DOES apply: a detection visually claimed
+                # far more strongly by another track is not this track's
+                # fragment (after a crossing, the coasted prediction sits
+                # on the OTHER object with near-total containment — without
+                # the veto this pass would eat the detection and starve the
+                # re-ID pass below).
+                if (use_app and t.template is not None
+                        and col_best[di] - ncc[ti, di] > 0.3):
+                    continue
                 iom = _iom(t.bbox, dets[di].bbox)
                 if iom > best_iom:
                     best, best_iom = di, iom
             if best >= 0:
                 frag_pairs.append((ti, best))
                 unmatched.remove(best)
+        # Appearance re-identification: before minting a new id for a
+        # leftover detection, try to re-lock it onto a coasting track by
+        # template NCC — catches the geometric dead zone (prediction
+        # drifted past IoU/IoM reach during a long occlusion, or the
+        # object reversed course while hidden). Distance-gated so a
+        # look-alike across the frame can't steal an identity.
+        matched2 = matched | {ti for ti, _ in frag_pairs}
+        reid_pairs = []
+        if use_app and unmatched:
+            for ti, t in enumerate(self._tracks):
+                if ti in matched2 or t.template is None or not unmatched:
+                    continue
+                cx, cy, w, h = t.x[:4]
+                gate = p.reid_dist_gate * float(np.hypot(w, h))
+                best, best_ncc = -1, p.reid_ncc_threshold
+                for di in unmatched:
+                    if ncc[ti, di] <= best_ncc:
+                        continue
+                    x, y, bw, bh = dets[di].bbox
+                    if np.hypot(x + bw / 2 - cx, y + bh / 2 - cy) <= gate:
+                        best, best_ncc = di, ncc[ti, di]
+                if best >= 0:
+                    reid_pairs.append((ti, best))
+                    unmatched.remove(best)
         for ti, di in pairs:
             self._tracks[ti].update(dets[di])
+            self._tracks[ti].refresh_template(patches[di], p.template_ema)
         for ti, di in frag_pairs:
             self._tracks[ti].touch(dets[di])
+        for ti, di in reid_pairs:
+            # Full re-lock: the detection is the whole object again.
+            # Velocity is stale after the gap — rebase position, zero it.
+            t = self._tracks[ti]
+            x, y, bw, bh = dets[di].bbox
+            t.x[:4] = (x + bw / 2, y + bh / 2, bw, bh)
+            t.x[4:] = 0.0
+            t.p = np.eye(6) * 10.0
+            t.update(dets[di])
+            t.refresh_template(patches[di], p.template_ema)
         for di in unmatched:
-            self._tracks.append(_Track(self._next_id, dets[di]))
+            nt = _Track(self._next_id, dets[di])
+            nt.refresh_template(patches[di], p.template_ema)
+            self._tracks.append(nt)
             self._next_id += 1
         self._tracks = [t for t in self._tracks
                         if t.lost <= self.params.max_lost_age]
