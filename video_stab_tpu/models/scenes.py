@@ -225,25 +225,64 @@ def _photo_background(rng, h, w):
     return out, int(h * 0.35)
 
 
+def _draw_distractors(img, rng, horizon, h, w):
+    """Unlabeled clutter: object-sized natural shapes (bush blobs, rock
+    ellipses, sign posts, road stains) that a loose detector fires on —
+    a precision stressor. Drawn UNDER no ground-truth box."""
+    import cv2
+    n = int(rng.integers(1, 4))
+    for _ in range(n):
+        cx = float(rng.uniform(15, w - 15))
+        cy = float(rng.uniform(horizon + 5, h - 10))
+        s = float(rng.uniform(8, 28))
+        kind = int(rng.integers(0, 4))
+        col = tuple(float(c) for c in rng.uniform(30, 150, 3))
+        if kind == 0:                       # bush: cluster of ellipses
+            for _ in range(4):
+                ox, oy = rng.uniform(-s / 2, s / 2, 2)
+                cv2.ellipse(img, (int(cx + ox), int(cy + oy)),
+                            (int(s / 2), int(s / 3)), 0, 0, 360, col, -1)
+        elif kind == 1:                     # rock
+            cv2.ellipse(img, (int(cx), int(cy)), (int(s), int(s * 0.6)),
+                        float(rng.uniform(-20, 20)), 0, 360, col, -1)
+        elif kind == 2:                     # sign post
+            cv2.rectangle(img, (int(cx - 1), int(cy - s * 1.5)),
+                          (int(cx + 1), int(cy)), (90, 90, 90), -1)
+            cv2.rectangle(img, (int(cx - s / 3), int(cy - s * 1.9)),
+                          (int(cx + s / 3), int(cy - s * 1.4)), col, -1)
+        else:                               # road stain
+            cv2.ellipse(img, (int(cx), int(cy)), (int(s * 1.3), int(s / 3)),
+                        0, 0, 360, tuple(v * 0.6 for v in col), -1)
+
+
 def render_scene(rng: np.random.Generator, h: int = 192, w: int = 320,
                  n_objects: Optional[int] = None,
                  classes: Tuple[int, ...] = (0, 1, 2, 3),
                  background: str = "rendered",
+                 hard: bool = False,
                  ) -> Tuple[np.ndarray, List[Tuple[int, float, float, float,
                                                    float]]]:
     """One scene. Returns (frame u8 BGR (h,w,3), boxes) where boxes are
     (class_id, x, y, bw, bh) in pixels. background="photo" composites the
-    rendered objects onto a real photograph (photo_backgrounds)."""
+    rendered objects onto a real photograph (photo_backgrounds).
+
+    hard=True is the adversarial eval/training variant (VERDICT r4 #6):
+    distractor clutter (unlabeled object-sized shapes), a wider object
+    scale range, stronger brightness/contrast jitter, heavier blur, and
+    sensor noise."""
     import cv2
     if background == "photo":
         img, horizon = _photo_background(rng, h, w)
     else:
         img, horizon = _background(rng, h, w)
+    if hard:
+        _draw_distractors(img, rng, horizon, h, w)
     n = int(rng.integers(1, 5)) if n_objects is None else n_objects
     boxes = []
     for _ in range(n):
         cls = int(rng.choice(classes))
-        scale = float(rng.uniform(0.7, 2.2))
+        scale = float(rng.uniform(0.55, 2.6) if hard
+                      else rng.uniform(0.7, 2.2))
         cx = float(rng.uniform(30, w - 30))
         cy = float(rng.uniform(horizon + 5, h - 25))
         bbox = _DRAWERS[cls](img, rng, cx, cy, scale)
@@ -254,9 +293,16 @@ def render_scene(rng: np.random.Generator, h: int = 192, w: int = 320,
             continue
         boxes.append((cls, float(x), float(y), float(bw), float(bh)))
     # photometric jitter
-    img = img * rng.uniform(0.8, 1.15) + rng.uniform(-12, 12)
-    if rng.random() < 0.3:
-        img = cv2.GaussianBlur(img, (3, 3), 0)
+    if hard:
+        img = (img - 128.0) * rng.uniform(0.75, 1.25) + 128.0
+        img = img * rng.uniform(0.6, 1.3) + rng.uniform(-18, 18)
+        if rng.random() < 0.5:
+            img = cv2.GaussianBlur(img, (0, 0), float(rng.uniform(0.5, 1.3)))
+        img = img + rng.normal(0.0, rng.uniform(1.0, 5.0), img.shape)
+    else:
+        img = img * rng.uniform(0.8, 1.15) + rng.uniform(-12, 12)
+        if rng.random() < 0.3:
+            img = cv2.GaussianBlur(img, (3, 3), 0)
     return np.clip(img, 0, 255).astype(np.uint8), boxes
 
 
@@ -341,11 +387,14 @@ def render_clip(rng: np.random.Generator, n_frames: int = 60, h: int = 192,
 
 def make_detection_batch(rng: np.random.Generator, batch: int, height: int,
                          width: int, num_classes: int,
-                         photo_prob: float = 0.0):
+                         photo_prob: float = 0.0,
+                         hard_prob: float = 0.0):
     """Rendered scenes + CenterNet targets (drop-in for
     train.synthetic_detection_batch, same contract). photo_prob mixes in
     scenes composited onto real photographic backgrounds (domain
-    robustness — the bundled weights fine-tune with photo_prob=0.5)."""
+    robustness — the bundled weights fine-tune with photo_prob=0.5);
+    hard_prob mixes in the adversarial hard variant (distractor clutter +
+    heavy photometric jitter) so precision survives clutter."""
     from video_stab_tpu.models.detector import STRIDE
 
     hs, ws = height // STRIDE, width // STRIDE
@@ -357,7 +406,8 @@ def make_detection_batch(rng: np.random.Generator, batch: int, height: int,
     yy, xx = np.mgrid[0:hs, 0:ws]
     for b in range(batch):
         bg = "photo" if rng.random() < photo_prob else "rendered"
-        frame, boxes = render_scene(rng, height, width, background=bg)
+        frame, boxes = render_scene(rng, height, width, background=bg,
+                                    hard=rng.random() < hard_prob)
         frames[b] = frame.astype(np.float32)
         for cls, x, y, bw, bh in boxes:
             gx = (x + bw / 2) / STRIDE

@@ -133,15 +133,16 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
                    log_every: int = 10, seed: int = 0,
                    use_scenes: bool = False, save_path: str = "",
                    lr: float = 1e-3, photo_prob: float = 0.0,
-                   init_weights: str = ""):
+                   init_weights: str = "", hard_prob: float = 0.0):
     """Self-contained training run (tests, CLI, and weight production).
 
     ``use_scenes=True`` trains on rendered traffic scenes (models/scenes.py)
     — the curriculum behind the bundled ``centernet_traffic`` weights;
     False keeps the fast flat-box batch for smoke tests. ``photo_prob``
     mixes real-photograph backgrounds into the scene curriculum;
-    ``init_weights`` fine-tunes from a saved checkpoint instead of random
-    init."""
+    ``hard_prob`` mixes in the adversarial hard variant (clutter + heavy
+    jitter); ``init_weights`` fine-tunes from a saved checkpoint instead
+    of random init."""
     cfg = DetectorConfig()
     model, params = create_detector(cfg, seed=seed, height=height, width=width)
     if init_weights:
@@ -160,7 +161,8 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
 
         from video_stab_tpu.models.scenes import make_detection_batch
         make_batch = functools.partial(make_detection_batch,
-                                       photo_prob=photo_prob)
+                                       photo_prob=photo_prob,
+                                       hard_prob=hard_prob)
     losses = []
     for i in range(n_steps):
         frames, targets = make_batch(
@@ -179,53 +181,111 @@ def train_detector(n_steps: int = 50, batch: int = 8, height: int = 96,
     return model, params, losses
 
 
+def _match_counts(bbox, cls, gt, iou_thresh: float,
+                  class_agnostic: bool) -> tuple:
+    """Greedy IoU >= iou_thresh matching (class-gated unless
+    class_agnostic). Returns (tp, fp, fn) for one scene."""
+    tp = fn = 0
+    used = np.zeros(len(bbox), bool)
+    for gcls, gx, gy, gw, gh in gt:
+        best, best_iou = -1, iou_thresh
+        for i in range(len(bbox)):
+            if used[i] or (not class_agnostic and cls[i] != gcls):
+                continue
+            x, y, w_, h_ = bbox[i]
+            ix0, iy0 = max(x, gx), max(y, gy)
+            ix1 = min(x + w_, gx + gw)
+            iy1 = min(y + h_, gy + gh)
+            inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+            union = w_ * h_ + gw * gh - inter
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:
+                best, best_iou = i, iou
+        if best >= 0:
+            used[best] = True
+            tp += 1
+        else:
+            fn += 1
+    return tp, int((~used).sum()), fn
+
+
 def evaluate_detector(model, params, n_scenes: int = 32, height: int = 192,
                       width: int = 320, iou_thresh: float = 0.5,
                       score_thresh: float = 0.35, seed: int = 9999,
                       class_agnostic: bool = False,
-                      background: str = "rendered"):
+                      background: str = "rendered", hard: bool = False):
     """Recall/precision on held-out scenes — the quality gate the
     reference never had for its TrafficCamNet stage. Matching: greedy IoU
     >= iou_thresh (and class match unless class_agnostic).
     background="photo" evaluates on real photographic backgrounds
-    (scenes.photo_backgrounds)."""
+    (scenes.photo_backgrounds); hard=True adds distractor clutter and
+    heavy photometric jitter (scenes.render_scene)."""
     from video_stab_tpu.models.detector import detect
     from video_stab_tpu.models.scenes import render_scene
 
     rng = np.random.default_rng(seed)
     tp = fp = fn = 0
     for _ in range(n_scenes):
-        frame, gt = render_scene(rng, height, width, background=background)
+        frame, gt = render_scene(rng, height, width, background=background,
+                                 hard=hard)
         out = detect(model, params, jnp.asarray(frame[None], jnp.float32),
                      score_thresh)
         valid = np.asarray(out["valid"][0])
         bbox = np.asarray(out["bbox"][0])[valid]
         cls = np.asarray(out["class_id"][0])[valid]
-        used = np.zeros(len(bbox), bool)
-        for gcls, gx, gy, gw, gh in gt:
-            best, best_iou = -1, iou_thresh
-            for i in range(len(bbox)):
-                if used[i] or (not class_agnostic and cls[i] != gcls):
-                    continue
-                x, y, w_, h_ = bbox[i]
-                ix0, iy0 = max(x, gx), max(y, gy)
-                ix1 = min(x + w_, gx + gw)
-                iy1 = min(y + h_, gy + gh)
-                inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
-                union = w_ * h_ + gw * gh - inter
-                iou = inter / union if union > 0 else 0.0
-                if iou > best_iou:
-                    best, best_iou = i, iou
-            if best >= 0:
-                used[best] = True
-                tp += 1
-            else:
-                fn += 1
-        fp += int((~used).sum())
+        stp, sfp, sfn = _match_counts(bbox, cls, gt, iou_thresh,
+                                      class_agnostic)
+        tp, fp, fn = tp + stp, fp + sfp, fn + sfn
     recall = tp / max(tp + fn, 1)
     precision = tp / max(tp + fp, 1)
     return {"recall": recall, "precision": precision, "tp": tp, "fp": fp,
             "fn": fn}
+
+
+def pr_curve(model, params, thresholds=(0.2, 0.35, 0.5, 0.65, 0.8),
+             n_scenes: int = 32, height: int = 192, width: int = 320,
+             iou_thresh: float = 0.5, seed: int = 9999,
+             class_agnostic: bool = False, background: str = "rendered",
+             hard: bool = False):
+    """Precision/recall at SEVERAL confidence thresholds (VERDICT r4 #6:
+    a curve, not one floor) from ONE low-threshold inference pass per
+    scene — decodes once at min(thresholds), then re-thresholds the
+    scored detections. Returns a list of rows sorted by threshold:
+    {threshold, recall, precision, tp, fp, fn}.
+
+    Reference anchor: DeepStreamTracker.cpp:564-601 thresholds raw
+    TensorRT detections by Parameters.confidenceThreshold — this curve is
+    the evidence for choosing that value."""
+    from video_stab_tpu.models.detector import detect
+    from video_stab_tpu.models.scenes import render_scene
+
+    rng = np.random.default_rng(seed)
+    floor = min(thresholds)
+    agg = {t: [0, 0, 0] for t in thresholds}
+    for _ in range(n_scenes):
+        frame, gt = render_scene(rng, height, width, background=background,
+                                 hard=hard)
+        out = detect(model, params, jnp.asarray(frame[None], jnp.float32),
+                     floor)
+        valid = np.asarray(out["valid"][0])
+        bbox = np.asarray(out["bbox"][0])
+        cls = np.asarray(out["class_id"][0])
+        score = np.asarray(out["score"][0])
+        for t in thresholds:
+            keep = valid & (score >= t)
+            stp, sfp, sfn = _match_counts(bbox[keep], cls[keep], gt,
+                                          iou_thresh, class_agnostic)
+            a = agg[t]
+            a[0] += stp
+            a[1] += sfp
+            a[2] += sfn
+    rows = []
+    for t in sorted(thresholds):
+        tp, fp, fn = agg[t]
+        rows.append({"threshold": t, "recall": tp / max(tp + fn, 1),
+                     "precision": tp / max(tp + fp, 1),
+                     "tp": tp, "fp": fp, "fn": fn})
+    return rows
 
 
 def dryrun_train_step(devices: Optional[Sequence] = None) -> None:

@@ -203,3 +203,43 @@ class MultiStreamStabilizer:
         self._shape = None
         self._frames_in[:] = 0
         self._emitted[:] = 0
+
+
+def serve_remote_streams(server, stabilizer: "MultiStreamStabilizer",
+                         stream_ids: Sequence[int], n_ticks: int,
+                         on_output=None, read_timeout: float = 2.0) -> dict:
+    """Couple a DCN ingest fan-in (io.remote.RemoteFrameServer) to the
+    batched device step — the serving-host main loop (VERDICT r4 #8).
+
+    Each tick: ``server.read_batch(stream_ids)`` assembles the lockstep
+    (N, H, W, 3) batch (stalled streams repeat their last frame — the
+    CamCap last-frame semantics over the network, CamCap.cpp:141-256),
+    one ``stabilize_batch`` dispatch advances all N streams, and
+    ``on_output(stream_id, frame)`` fires for every stream the warm-up
+    gate has released (``stabilizer.last_valid``).
+
+    Returns counters: {"ticks", "emitted" (per-stream np array),
+    "stalled_ticks" (read_batch timeouts before every stream fed)}.
+    """
+    ids = list(stream_ids)
+    emitted = np.zeros(len(ids), np.int64)
+    stalled = 0
+    ticks = 0
+    while ticks < n_ticks:
+        batch = server.read_batch(ids, timeout=read_timeout)
+        if batch is None:              # not every stream has fed yet
+            stalled += 1
+            if stalled > n_ticks + 100:
+                break
+            continue
+        out = stabilizer.stabilize_batch(batch)
+        ticks += 1
+        if out is None:
+            continue
+        valid = stabilizer.last_valid
+        for k, sid in enumerate(ids):
+            if valid is not None and valid[k]:
+                emitted[k] += 1
+                if on_output is not None:
+                    on_output(sid, out[k])
+    return {"ticks": ticks, "emitted": emitted, "stalled_ticks": stalled}
