@@ -7,7 +7,7 @@
 # healthy window (>0.4 GB/s H2D) appears, then auto-commits the refreshed
 # record (pathspec-limited, same rationale as tools/tpu_window.sh).
 #
-# Exits when: a healthy-window bench lands (success), BENCH_r04.json
+# Exits when: a healthy-window bench lands (success), BENCH_r05.json
 # appears (the driver's round-end capture owns the chip from then on),
 # or PROBES attempts expire.
 #
@@ -44,7 +44,7 @@ EOF
 }
 
 for i in $(seq 1 "$PROBES"); do
-  if [ -f BENCH_r04.json ]; then
+  if [ -f BENCH_r05.json ]; then
     echo "[bw_watcher] driver round-end record exists; exiting"
     exit 0
   fi
