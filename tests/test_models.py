@@ -327,12 +327,45 @@ class TestPhotographicGates:
         model, params = bundled
         m = evaluate_detector(model, params, n_scenes=12, seed=4242,
                               background="photo")
-        # Bundled FT3 weights measure 0.935/0.967 at these settings
-        # (0.922/0.934 at n_scenes=24); the eval is seeded so the floors
-        # only need numeric-jitter headroom (~1 miss on ~31 objects).
-        # VERDICT r3 item 6 asks recall >= 0.90 on photographic scenes.
-        assert m["recall"] >= 0.90, m
-        assert m["precision"] >= 0.92, m
+        # Bundled FT4 weights (round 5: 1200-step photo_prob=0.7,
+        # hard_prob=0.2 curriculum) measure 1.000/1.000 at these settings,
+        # 0.950/0.950 at n_scenes=24, and 0.91-1.00 recall across held-out
+        # seeds (DETECTOR_EVAL.md). VERDICT r4 #6 asks recall >= 0.95
+        # photographic; the seeded floor leaves ~1-miss headroom.
+        assert m["recall"] >= 0.95, m
+        assert m["precision"] >= 0.95, m
+
+    def test_pr_curve_on_photos(self, bundled):
+        """The confidence-threshold trade-off is a CURVE, not one floor
+        (VERDICT r4 #6): at the shipped threshold (0.35) both metrics
+        hold; dropping to 0.2 buys recall at a real precision cost;
+        raising to 0.65 buys precision at a real recall cost. Guards the
+        shape so a regression can't hide behind one lucky operating
+        point. Full tables: DETECTOR_EVAL.md."""
+        from video_stab_tpu.models.train import pr_curve
+        model, params = bundled
+        rows = {r["threshold"]: r
+                for r in pr_curve(model, params,
+                                  thresholds=(0.2, 0.35, 0.65),
+                                  n_scenes=12, seed=4242,
+                                  background="photo")}
+        assert rows[0.35]["recall"] >= 0.95, rows
+        assert rows[0.35]["precision"] >= 0.95, rows
+        assert rows[0.2]["recall"] >= rows[0.35]["recall"]
+        assert rows[0.65]["precision"] >= 0.95, rows
+        assert rows[0.65]["recall"] <= rows[0.2]["recall"]
+
+    def test_recall_floor_on_hard_photos(self, bundled):
+        """Adversarial photographic scenes (distractor clutter, wide
+        scale range, heavy photometric jitter + noise —
+        scenes.render_scene(hard=True)): the bundled weights measure
+        0.889/0.980 at n=24; floors with headroom."""
+        from video_stab_tpu.models.train import evaluate_detector
+        model, params = bundled
+        m = evaluate_detector(model, params, n_scenes=12, seed=4242,
+                              background="photo", hard=True)
+        assert m["recall"] >= 0.82, m
+        assert m["precision"] >= 0.90, m
 
     def test_id_survives_occlusion_on_photographic_pan(self, bundled):
         """A car drives behind a pole band mid-clip (photographic pan

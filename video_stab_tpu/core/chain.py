@@ -344,6 +344,14 @@ class ProcessingChain:
         self._frames_in = 0
         self._emitted = 0
 
+    def with_output_format(self, fmt: str) -> "ProcessingChain":
+        """A fresh chain with the same component params but a different
+        delivered pixel format (state restarts — call before streaming)."""
+        p = self.params
+        return ProcessingChain(p.mode, p.enhancer, p.roll, p.stabilizer,
+                               azc=p.azc, pipelined=self.pipelined,
+                               fuse_roll=p.fuse_roll, output_format=fmt)
+
     def process_device(self, frame) -> Optional["jnp.ndarray"]:
         """One gated dispatch per frame; returns the processed frame as a
         DEVICE array (None during stabilizer warm-up / pipelined lag)."""

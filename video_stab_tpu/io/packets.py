@@ -729,6 +729,27 @@ class PacketEncoderBridge:
         self.units_out += 1
         return split_nal_units(data)
 
+    def encode_frame_yuv(self, i420: np.ndarray) -> Optional[List[bytes]]:
+        """Encode a device-emitted planar I420 buffer ((H*3/2, W) u8,
+        ops.color.bgr_to_i420 layout) with NO host colorspace pass — the
+        packet graph's sink for ChainParams.output_format="i420"
+        (native/codec.cpp vs_enc_encode_yuv)."""
+        from video_stab_tpu.io.codec import VideoEncoder
+        from video_stab_tpu.io.sinks import bitrate_bps_app
+
+        if self._encoder is None:
+            h = i420.shape[0] * 2 // 3
+            w = i420.shape[1]
+            bps = (self.bitrate_kbps * 1000 or
+                   bitrate_bps_app(w, h, self.fps))
+            self._encoder = VideoEncoder(w, h, self.fps, bitrate_bps=bps,
+                                         codec=self.codec, zerolatency=True)
+        data = self._encoder.encode_yuv(i420)
+        if not data:
+            return None
+        self.units_out += 1
+        return split_nal_units(data)
+
     def close(self) -> None:
         if self._encoder is not None:
             self._encoder.close()

@@ -181,6 +181,17 @@ class StabilizerApp:
             "output",
             listen_to="processed_pkt" if self._pkt_active else "source_pkt",
             sink=self.sink)
+        self._apply_packet_output_format()
+
+    def _apply_packet_output_format(self) -> None:
+        """Packet graph: the fused chain's only consumer is the encoder
+        bridge, so fold the BT.601 I420 conversion into the device program
+        (half the device->host payload, no host swscale pass —
+        native/codec.cpp vs_enc_encode_yuv). BGR is kept when a tracker
+        overlay must draw on the decoded frames."""
+        if (getattr(self, "packet_mode", False) and self.chain is not None
+                and not self.cfg.mode.tracker_enabled):
+            self.chain = self.chain.with_output_format("i420")
 
     @property
     def decoder_constructed(self) -> bool:
@@ -208,12 +219,20 @@ class StabilizerApp:
                 return None         # resume at the next gop boundary
             self._pkt_wait_idr = False
         out_nals = []
+        is_yuv = (self.chain is not None
+                  and self.chain.params.output_format == "i420")
         for frame in self._pkt_decoder.decode_unit(au):
             out = self._process_frame(frame)
             if out is None:
                 continue
-            nals = self._pkt_encoder.encode_frame(
-                np.ascontiguousarray(out[:, :, :3]))
+            if is_yuv:
+                # Device-emitted planar I420 goes straight into libx264
+                # (no host swscale; half the D2H payload).
+                nals = self._pkt_encoder.encode_frame_yuv(
+                    np.ascontiguousarray(out))
+            else:
+                nals = self._pkt_encoder.encode_frame(
+                    np.ascontiguousarray(out[:, :, :3]))
             if nals:
                 out_nals.extend(nals)
         return out_nals or None
@@ -259,6 +278,7 @@ class StabilizerApp:
         with self._lock:
             self.cfg = new_cfg
             self._build_processors()
+            self._apply_packet_output_format()
             if new_cfg.mode.tracker_enabled and self._tracker is None:
                 from video_stab_tpu.models.tracker import ObjectTracker
                 self._tracker = ObjectTracker(new_cfg.tracker)
