@@ -108,7 +108,11 @@ class TestRemoteIngestServing:
                                               RemoteFrameSink)
         from video_stab_tpu.parallel.multistream import serve_remote_streams
 
-        srv = RemoteFrameServer(port=15941, queue_size=4).start()
+        # Queue depth covers the whole pre-fed clip: the senders run
+        # ahead of the serving loop here, and a latest-only-shallow queue
+        # would drop the early frames and stall every later tick on the
+        # read timeout + last-frame fallback.
+        srv = RemoteFrameServer(port=15941, queue_size=16).start()
         sinks = []
         try:
             rng = np.random.default_rng(3)
@@ -124,7 +128,11 @@ class TestRemoteIngestServing:
                 for i, s in enumerate(sinks):
                     s.write(clips[i][t])
 
-            ms = MultiStreamStabilizer(SMALL, n_streams=8)
+            # Same mesh-sharded 8-stream programs test_mesh_sharded_serving
+            # compiles (in-process jit cache hit keeps this integration
+            # test cheap) — and the meshed path IS the serving deployment.
+            ms = MultiStreamStabilizer(SMALL, n_streams=8,
+                                       mesh=make_stream_mesh())
             got = {}
 
             def on_output(sid, frame):
