@@ -26,7 +26,16 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--ingest-port", type=int, default=0,
+                    help="listen for remote JPEG-over-TCP ingest senders "
+                         "(io.remote.RemoteFrameSink) on this port instead "
+                         "of reading local synthetic sources — the "
+                         "multi-host DCN fan-in deployment")
     args = ap.parse_args()
+
+    if args.ingest_port:
+        serve_remote(args)
+        return
 
     mesh = make_stream_mesh()
     print(f"mesh: {mesh.shape} over {len(mesh.devices.flat)} devices")
@@ -53,6 +62,39 @@ def main():
           f"in {dt:.2f}s -> {out_frames / dt:.1f} frames/s aggregate")
     for s in sources:
         s.stop()
+
+
+def serve_remote(args):
+    """Serving-host main loop for multi-host ingest: decode happens on the
+    INGEST hosts (each runs a RemoteFrameSink per camera); this host only
+    assembles lockstep batches and runs one batched device dispatch per
+    tick (DESIGN.md sec. 14 — one core of software decode feeds only ~1.4
+    real-time 1080p30 streams, so the serving host does zero decode)."""
+    from video_stab_tpu.io.remote import RemoteFrameServer
+    from video_stab_tpu.parallel.multistream import serve_remote_streams
+
+    mesh = make_stream_mesh()
+    params = StabilizerParams(smoothing_radius=10,
+                              analysis_width=min(args.width, 960),
+                              analysis_height=min(args.height, 540))
+    ms = MultiStreamStabilizer(params, n_streams=args.streams, mesh=mesh)
+    srv = RemoteFrameServer(port=args.ingest_port).start()
+    print(f"ingest fan-in listening on :{args.ingest_port}; waiting for "
+          f"{args.streams} senders (stream_id 0..{args.streams - 1})")
+    counts = {}
+
+    def on_output(sid, frame):
+        counts[sid] = counts.get(sid, 0) + 1
+
+    t0 = time.perf_counter()
+    stats = serve_remote_streams(srv, ms, list(range(args.streams)),
+                                 n_ticks=args.frames, on_output=on_output)
+    dt = time.perf_counter() - t0
+    total = int(sum(stats["emitted"]))
+    print(f"{total} stabilized frames across {args.streams} remote streams "
+          f"in {dt:.2f}s -> {total / dt:.1f} frames/s aggregate "
+          f"(stalled ticks: {stats['stalled_ticks']})")
+    srv.stop()
 
 
 if __name__ == "__main__":
