@@ -122,10 +122,12 @@ class TestFlushDrain:
 
 
 class TestRollCorrectionFixture:
-    def _render_tilted(self, angle_deg: float, h=720, w=960):
+    def _render_tilted(self, angle_deg: float, h=480, w=640):
         # Realistic SIZE matters: RollCorrection downsizes x0.25
         # (RollCorrection.cpp:35-45) and Hough needs >=100 votes
         # (threshold, :66-73) — a horizon must span >=400 px at full res.
+        # 480x640 is the smallest production-shaped frame that clears the
+        # vote threshold with margin (160 px analysis-scale horizon).
         """A realistic horizon scene (sky/ground + clutter), tilted by a
         known angle."""
         rng = np.random.default_rng(7)
@@ -156,7 +158,9 @@ class TestRollCorrectionFixture:
             angle_filter_min=-10.0, angle_filter_max=10.0))
         # feed the same tilted frame; the EMA (alpha 0.1, clamp 0.5deg/frame,
         # RollCorrection.cpp:124-136) converges toward the detected angle.
-        for _ in range(40):
+        # 24 frames suffice: worst case (|angle|=6) the residual EMA gap is
+        # 5*0.9^22 ~= 0.5 deg, inside the 1.5 deg tolerance with margin.
+        for _ in range(24):
             out = rc.auto_correct_roll(frame)
         est = rc.smoothed_angle
         # detected angle corrects the tilt: sign opposite the applied one

@@ -57,5 +57,9 @@ def test_dryrun_multichip_survives_dead_backend(monkeypatch):
         "JAX_COMPILATION_CACHE_DIR",
         os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
                                      compilation_cache_dir(".jax_cache"))))
+    # The decision path under test (probe -> CPU-mesh subprocess) is fully
+    # exercised by the serving step; skip the child's training-step compile
+    # (~20 s). The driver's own MULTICHIP run covers both parts.
+    monkeypatch.setenv("VSTAB_DRYRUN_SERVING_ONLY", "1")
     mod.dryrun_multichip(2)   # subprocess.run(check=True) raises on failure
     assert calls, "probe was not consulted before touching jax.devices()"
