@@ -502,6 +502,47 @@ class TestRTCP:
         assert b["highest_seq"] == 777 and b["jitter"] == 42
         assert parse_rtcp_report_blocks(b"\x00" * 16) == []
 
+    def test_rr_loss_drives_bitrate_adaptation(self):
+        """Receiver-report congestion control: a fresh RR with >=5% loss
+        steps the shared encoder down x0.7 with an IDR; hysteresis blocks
+        a second immediate step; a clean 10 s window recovers x1.25 per
+        step up to (never past) the nominal ceiling; stale lossy reports
+        are ignored. No network needed — the adapter reads session state
+        the RTCP threads would populate."""
+        from types import SimpleNamespace
+
+        from video_stab_tpu.io.rtsp import RTSPServer
+
+        server = RTSPServer(port=0, fps=30, bitrate_kbps=1000)
+        frame = make_clip(1, h=120, w=160)[0]
+        server.push_frame(frame)
+        assert server.current_bitrate_kbps == 1000
+
+        lossy = SimpleNamespace(playing=False, dead=False, ssrc=1,
+                                receiver_report={"fraction_lost": 0.20},
+                                receiver_report_time=time.monotonic())
+        server._sessions["fake"] = lossy
+        server.push_frame(frame)
+        assert server.current_bitrate_kbps == 700
+        assert server._encoder.last_was_key      # IDR at the new rate
+        server.push_frame(frame)                 # inside 2 s hysteresis
+        assert server.current_bitrate_kbps == 700
+
+        lossy.receiver_report = {"fraction_lost": 0.0}
+        for expect in (875, 1000, 1000):         # x1.25, capped at nominal
+            lossy.receiver_report_time = time.monotonic()
+            server._last_adapt = time.monotonic() - 11.0
+            server.push_frame(frame)
+            assert server.current_bitrate_kbps == expect
+
+        # A stale lossy report (client likely gone) must not downstep.
+        lossy.receiver_report = {"fraction_lost": 0.5}
+        lossy.receiver_report_time = time.monotonic() - 10.0
+        server._last_adapt = 0.0
+        server.push_frame(frame)
+        assert server.current_bitrate_kbps == 1000
+        server._encoder.close()
+
     def test_server_sends_sr_and_ingests_rr_tcp(self):
         """Scripted TCP-interleaved client: the server emits an RTCP
         Sender Report on channel+1 (pkt/octet counts advancing), and an

@@ -24,9 +24,12 @@ RTCP (RFC 3550): the server emits Sender Reports every RTCP_SR_INTERVAL
 per session (NTP<->RTP clock mapping + packet/octet counts) — interleaved
 on channel+1 for TCP sessions, to client_port+1 for UDP — and parses
 inbound Receiver Reports on both transports, exposing the latest loss
-fraction / jitter per session via ``RTSPServer.receiver_reports()`` (the
-observability hook for receiver-driven adaptation; like the reference's
-gst-rtsp-server, no automatic bitrate adaptation is applied).
+fraction / jitter per session via ``RTSPServer.receiver_reports()``.
+Receiver-driven adaptation (``adapt_bitrate=True``): sustained reported
+loss steps the shared encoder's bitrate down (x0.7 per step, floored at
+nominal/5, IDR on change) and a clean window recovers it toward the
+nominal ceiling — the congestion response the reference's
+gst-rtsp-server leaves to the application (_maybe_adapt_bitrate).
 
 RTP payload: RFC 6184 H.264 — single-NAL-unit packets, FU-A fragmentation
 for NALs above the interleaved 16-bit frame limit. codec="h265" serves
@@ -43,6 +46,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -215,6 +219,7 @@ class _Session:
         self.octet_count = 0
         self._last_sr = 0.0
         self.receiver_report: Optional[dict] = None
+        self.receiver_report_time = 0.0     # monotonic receipt time
         # Shared per-CONNECTION write lock: control replies (OPTIONS/
         # GET_PARAMETER keepalives answered during PLAY) write to the same
         # socket as the RTP sender; sendall is not atomic across threads,
@@ -282,12 +287,14 @@ class RTSPServer(FrameSink):
 
     def __init__(self, port: int = 8554, mount: str = "/stream",
                  fps: int = 30, bitrate_kbps: int = 0,
-                 codec: str = "h264", logging: bool = False):
+                 codec: str = "h264", logging: bool = False,
+                 adapt_bitrate: bool = True):
         self.port = port
         self.mount = mount
         self.fps = fps
         self.codec = codec              # "h264" | "h265" (RFC 7798)
         self.bitrate_kbps = bitrate_kbps    # 0 -> reference heuristic
+        self.adapt_bitrate = adapt_bitrate
         self.log = get_logger("RTSPServer", logging)
         self._encoder: Optional[VideoEncoder] = None
         self._sessions: Dict[str, _Session] = {}
@@ -300,6 +307,10 @@ class RTSPServer(FrameSink):
         self.frames_pushed = 0
         self._udp_sock: Optional[socket.socket] = None   # shared RTP send
         self._udp_rtcp_sock: Optional[socket.socket] = None
+        # RTCP-driven rate control state (see _maybe_adapt_bitrate).
+        self._kbps_nominal = 0          # ceiling, decided at encoder open
+        self._kbps_current = 0
+        self._last_adapt = 0.0          # monotonic time of last change
 
     def _ensure_udp_socket(self) -> socket.socket:
         """Lazily bind the shared UDP RTP send socket (+ its RTCP twin so
@@ -336,12 +347,9 @@ class RTSPServer(FrameSink):
         h, w = frame.shape[:2]
         if self._encoder is None:
             kbps = self.bitrate_kbps or bitrate_kbps_server(w, h, self.fps)
-            self._encoder = VideoEncoder(
-                w, h, self.fps, bitrate_bps=kbps * 1000,
-                codec="libx265" if self.codec == "h265" else "libx264",
-                zerolatency=True)
-            self.log.info("encoder open %dx%d @%d kbps (%s)", w, h, kbps,
-                          self.codec)
+            self._open_encoder(w, h, kbps)
+            self._kbps_nominal = kbps
+        self._maybe_adapt_bitrate()
         force = self._force_key
         self._force_key = False
         data = self._encoder.encode(frame, force_key=force)
@@ -391,6 +399,60 @@ class RTSPServer(FrameSink):
                     for sid, s in self._sessions.items()
                     if s.receiver_report}
 
+    @property
+    def current_bitrate_kbps(self) -> int:
+        """The encoder's live bitrate after RTCP adaptation (== the
+        nominal ceiling until a receiver reports loss)."""
+        return self._kbps_current
+
+    def _open_encoder(self, w: int, h: int, kbps: int) -> None:
+        if self._encoder is not None:
+            self._encoder.close()
+        self._encoder = VideoEncoder(
+            w, h, self.fps, bitrate_bps=kbps * 1000,
+            codec="libx265" if self.codec == "h265" else "libx264",
+            zerolatency=True)
+        self._kbps_current = kbps
+        self.log.info("encoder open %dx%d @%d kbps (%s)", w, h, kbps,
+                      self.codec)
+
+    def _maybe_adapt_bitrate(self, now: Optional[float] = None) -> None:
+        """Receiver-report-driven congestion control (the adaptation the
+        reference's gst-rtsp-server leaves to the application): when any
+        session's fresh RTCP RR shows >=5% loss, step the shared encoder's
+        bitrate down x0.7 (floor: nominal/5) and IDR so decoders recover
+        at the new rate; after a sustained clean window, step back up
+        x1.25 toward the nominal ceiling. Hysteresis: >=2 s between
+        downsteps, >=10 s before any upstep; reports older than 5 s are
+        ignored (the lossy client may be gone)."""
+        if not self.adapt_bitrate or self._encoder is None:
+            return
+        now = time.monotonic() if now is None else now
+        with self._slock:
+            fresh = [s.receiver_report["fraction_lost"]
+                     for s in self._sessions.values()
+                     if s.receiver_report is not None
+                     and now - s.receiver_report_time <= 5.0]
+        worst = max(fresh, default=0.0)
+        cur = self._kbps_current
+        if worst >= 0.05 and now - self._last_adapt >= 2.0:
+            target = max(int(cur * 0.7), max(self._kbps_nominal // 5, 100))
+            if target < cur:
+                self._open_encoder(self._encoder.width,
+                                   self._encoder.height, target)
+                self._force_key = True
+                self._last_adapt = now
+                self.log.info("RTCP loss %.1f%% -> bitrate %d kbps",
+                              worst * 100.0, target)
+        elif (worst < 0.01 and cur < self._kbps_nominal
+              and now - self._last_adapt >= 10.0):
+            target = min(int(cur * 1.25), self._kbps_nominal)
+            self._open_encoder(self._encoder.width,
+                               self._encoder.height, target)
+            self._force_key = True
+            self._last_adapt = now
+            self.log.info("RTCP clean window -> bitrate %d kbps", target)
+
     def _note_receiver_rtcp(self, data: bytes) -> None:
         """Match inbound RTCP report blocks to sessions by reportee SSRC
         (ours) and store the newest one per session."""
@@ -403,6 +465,7 @@ class RTSPServer(FrameSink):
             s = by_ssrc.get(b["ssrc"])
             if s is not None:
                 s.receiver_report = b
+                s.receiver_report_time = time.monotonic()
 
     def _note_parameter_sets(self, nals: List[bytes]) -> None:
         if self._sprop is not None:
