@@ -206,6 +206,62 @@ class TestStabilizer:
         run_clip(st2, frames[:8])
         assert float(st2.state_dict().canvas_scale) == np.float32(1.4)
 
+    def test_smoothing_radius_band(self):
+        """smoothing_radius_band: mode bands (Stabilizer.cpp:1143-1146),
+        the configured band under adaptive_smoothing, the drone floor
+        outranking a smaller configured max (a clip with a_min > a_max
+        would silently pin the radius to the sub-floor max), and the
+        45-cap that keeps the emission window inside the path ring."""
+        from video_stab_tpu.core.stabilizer import smoothing_radius_band
+
+        band = lambda **kw: smoothing_radius_band(StabilizerParams(**kw))
+        assert band() == (2, 8)
+        assert band(drone_high_freq_mode=True) == (10, 45)
+        assert band(adaptive_smoothing=True, min_smoothing_radius=3,
+                    max_smoothing_radius=20) == (3, 20)
+        # Drone floor vs a sub-floor configured max: floor wins.
+        assert band(adaptive_smoothing=True, drone_high_freq_mode=True,
+                    min_smoothing_radius=2,
+                    max_smoothing_radius=6) == (10, 10)
+        # Ring-safety cap applies to both ends.
+        assert band(adaptive_smoothing=True, min_smoothing_radius=60,
+                    max_smoothing_radius=90) == (45, 45)
+
+    def test_canvas_active_mask_noop_at_allocation_scale(self):
+        """virtual_canvas_apply's active-window mask must be an exact
+        no-op when the active scale equals the allocation scale: the
+        allocation rounds h*s / w*s, and comparing pixel CORNERS against
+        the unrounded half-extents permanently zeroed one border
+        row/column (asymmetrically) whenever round() went up."""
+        import jax.numpy as jnp
+
+        from video_stab_tpu.core.canvas import (canvas_init_value,
+                                                canvas_shape,
+                                                virtual_canvas_apply)
+        from tests.conftest import make_bgr
+
+        p = StabilizerParams(enable_virtual_canvas=True,
+                             adaptive_canvas_size=False,
+                             canvas_scale_factor=1.4)
+        h, w = 32, 48
+        hc, wc = canvas_shape(p, h, w)
+        assert (hc, wc) == (45, 67)    # both roundings actually bite
+        canvas, weight = canvas_init_value(p, h, w)
+        # Seed non-trivial history so a zeroed rim would be visible.
+        canvas = canvas + 7.0
+        weight = weight + 0.5
+        frame = jnp.asarray(make_bgr(h, w).astype(np.float32))
+        corr = jnp.asarray([2.0, -1.5, 0.01], jnp.float32)
+        c_m, w_m, out_m = virtual_canvas_apply(
+            p, canvas, weight, frame, corr,
+            active_scale=jnp.float32(p.canvas_scale_factor))
+        c_n, w_n, out_n = virtual_canvas_apply(
+            p, canvas, weight, frame, corr, active_scale=None)
+        assert np.array_equal(np.asarray(w_m), np.asarray(w_n))
+        assert np.array_equal(np.asarray(c_m), np.asarray(c_n))
+        assert np.array_equal(np.asarray(out_m), np.asarray(out_n))
+        assert (np.asarray(w_m)[:, 0] > 0).any()   # border column kept
+
     def test_ring_wraparound_long_run(self):
         # 300 frames > PATH_RING=128: smoothing quality must survive the
         # trajectory ring wrapping (absolute-index modulo addressing).

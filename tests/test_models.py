@@ -142,6 +142,43 @@ class TestTrackerAssociation:
         assert by_x[1].track_id == id_b, (by_x[1].track_id, id_a, id_b)
         tr.release()
 
+    def test_lookalike_across_frame_cannot_veto_local_match(self):
+        """The appearance veto must be spatially gated: a track parked
+        across the frame whose template happens to match a detection far
+        better than the detection's own (drifted) template is NOT a
+        claimant — every association pass requires proximity — so it must
+        not break a match geometry has already settled (two identical
+        vehicles in different lanes would otherwise churn ids every time
+        one template drifted)."""
+        from video_stab_tpu.models.tracker import _extract_patch
+
+        tr = ObjectTracker(TrackerParams(processing_width=96,
+                                         processing_height=64, min_hits=1),
+                           async_mode=False)
+        bw, bh, y = 12, 10, 24
+        xa, xb = 2.0, 80.0          # centers 78 px apart > 3*diag (~47 px)
+        fr = self._two_object_frame(xa, xb, bw=bw, bh=bh)
+        for _ in range(3):
+            out = tr._associate(
+                [Detection(0, 0.9, (xa, y, bw, bh)),
+                 Detection(0, 0.9, (xb, y, bw, bh))], gray=fr)
+        by_x = sorted(out, key=lambda d: d.bbox[0])
+        id_a = by_x[0].track_id
+        # Poison: A's template drifts to noise; distant B's template
+        # becomes a PERFECT match for A's patch (identical-looking object).
+        rng = np.random.default_rng(5)
+        ta, tb = sorted(tr._tracks, key=lambda t: t.x[0])
+        ta.template = rng.random(ta.template.shape).astype(np.float32) * 255
+        tb.template = _extract_patch(fr, (xa, y, bw, bh),
+                                     tr.params.template_size)
+        out = tr._associate(
+            [Detection(0, 0.9, (xa, y, bw, bh)),
+             Detection(0, 0.9, (xb, y, bw, bh))], gray=fr)
+        by_x = sorted(out, key=lambda d: d.bbox[0])
+        assert by_x[0].track_id == id_a, (by_x[0].track_id, id_a)
+        assert len(tr._tracks) == 2          # no freshly minted identity
+        tr.release()
+
     def test_pick_id_at(self):
         tr = self._tracker()
         dets = tr._associate([Detection(0, 0.9, (10, 10, 20, 20))])

@@ -420,6 +420,33 @@ class TestAppPacketGraph:
             relayed = f.read()
         assert relayed == original
 
+    def test_reload_disable_tracker_drops_instance_and_goes_i420(
+            self, h264_file, tmp_path):
+        """Hot reload that turns the tracker OFF must drop the tracker
+        instance in the same swap that flips the packet chain to i420
+        output: the overlay gate keys on `_tracker is not None`, so a
+        stale instance would run detection on (and draw into) planar YUV
+        frames — corrupted output with no error raised."""
+        import dataclasses
+
+        app = self._app(h264_file, str(tmp_path / "out.h264"),
+                        stabilizer_enabled=True, tracker_enabled=True)
+        assert app._tracker is not None
+        assert app.chain.params.output_format != "i420"   # overlay needs BGR
+        new_cfg = dataclasses.replace(
+            app.cfg, mode=dataclasses.replace(app.cfg.mode,
+                                              tracker_enabled=False))
+        app._on_config_change(new_cfg)
+        assert app._tracker is None
+        assert app.chain.params.output_format == "i420"
+        # And re-enabling brings the tracker back with BGR frames.
+        app._on_config_change(dataclasses.replace(
+            new_cfg, mode=dataclasses.replace(new_cfg.mode,
+                                              tracker_enabled=True)))
+        assert app._tracker is not None
+        assert app.chain.params.output_format != "i420"
+        app.stop()
+
     @pytest.fixture()
     def h264_gop12_small(self, tmp_path):
         """Small frames (96x128 — warm XLA cache shapes) with a SHORT gop:

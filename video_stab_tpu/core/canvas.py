@@ -66,8 +66,8 @@ def canvas_shape(params, height: int, width: int) -> tuple[int, int]:
 
 
 def adaptive_canvas_scale(params, trans_ring: jnp.ndarray,
-                          n_path: jnp.ndarray, prev_scale: jnp.ndarray,
-                          emit_idx: jnp.ndarray) -> jnp.ndarray:
+                          n_path: jnp.ndarray,
+                          prev_scale: jnp.ndarray) -> jnp.ndarray:
     """Active canvas scale — calculateOptimalCanvasSize
     (Stabilizer.cpp:2281-2306): max translation magnitude over the last
     <=30 transforms, mapped to scale = csf + (max(1, maxMotion/50) - 1)*0.5,
@@ -176,8 +176,13 @@ def virtual_canvas_apply(params, canvas: jnp.ndarray, weight: jnp.ndarray,
         # (h*scale, w*scale) rect — the statically-allocated canvas
         # behaves exactly like the smaller one the reference would have
         # created (content reaching past it is dropped, not banked).
-        ys = jnp.arange(hc, dtype=jnp.float32)[:, None]
-        xs = jnp.arange(wc, dtype=jnp.float32)[None, :]
+        # Compare PIXEL CENTERS (+0.5) against the window half-extents:
+        # corner coordinates against the rounded allocation (hc = round
+        # (h*s) can exceed h*s) would permanently zero one border
+        # row/column asymmetrically; with centers the mask is an exact
+        # no-op at active_scale == allocation scale.
+        ys = jnp.arange(hc, dtype=jnp.float32)[:, None] + 0.5
+        xs = jnp.arange(wc, dtype=jnp.float32)[None, :] + 0.5
         half_h = active_scale * h / 2.0
         half_w = active_scale * w / 2.0
         act = ((jnp.abs(ys - hc / 2.0) <= half_h)

@@ -341,6 +341,30 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
     return new_state, metrics
 
 
+def smoothing_radius_band(params: StabilizerParams) -> tuple[int, int]:
+    """Static [r_lo, r_max] clamp band for the box filter's adaptive
+    radius. Mode bands follow boxFilterConvolve (Stabilizer.cpp:1143-1146:
+    [2,8] normal / [10,50] drone); adaptive_smoothing=True swaps in the
+    configured [min,max]_smoothing_radius band (documented deviation, see
+    _smoothed_at_emit). Both ends are capped at 45 so the +-r_max window
+    plus look-ahead stays inside the 128-slot path ring, and the drone
+    floor outranks a smaller configured max (min<10<=max<10 would
+    otherwise leave jnp.clip with a_min > a_max, pinned at the sub-floor
+    max)."""
+    if params.adaptive_smoothing:
+        r_lo = max(1, min(int(params.min_smoothing_radius), 45))
+        r_max = max(r_lo, min(int(params.max_smoothing_radius), 45))
+        if params.drone_high_freq_mode:
+            # Drone HF mode keeps its heavier floor (sustained vibration
+            # wants wide windows; the HF chain handles the fast residual).
+            r_lo = max(r_lo, 10)
+            r_max = max(r_max, r_lo)
+        return r_lo, r_max
+    if params.drone_high_freq_mode:
+        return 10, 45
+    return 2, 8
+
+
 def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
                       e: jnp.ndarray) -> tuple[StabilizerState, jnp.ndarray]:
     """Smoothed path value at emit index e, per smoothing_method
@@ -355,9 +379,8 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
         # applyMultiStageSmoothing (Stabilizer.cpp:1577-1634, 2014-2041);
         # exposed here as a live smoothing_method honoring jitter_frequency
         # via mapJitterFrequencyToCutoff (2589-2602).
-        cutoffs = {"low": 0.05, "medium": 0.1, "high": 0.25,
-                   "adaptive": 0.15}
-        cutoff = cutoffs.get(params.jitter_frequency, 0.1)
+        from video_stab_tpu.motion.filters import jitter_frequency_cutoff
+        cutoff = jitter_frequency_cutoff(params.jitter_frequency)
         z = ring_get(state.path_ring, e)
 
         def init(_):
@@ -402,17 +425,7 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
     # plus the look-ahead span stays inside the 128-slot path ring
     # (state.py PATH_RING; 45 + 35 = 80 < 128, no slot aliasing).
     ar = adaptive_radius(state.path_ring, state.n_path, params.smoothing_radius)
-    if params.adaptive_smoothing:
-        r_lo = max(1, int(params.min_smoothing_radius))
-        r_max = max(r_lo, min(int(params.max_smoothing_radius), 45))
-        if params.drone_high_freq_mode:
-            # Drone HF mode keeps its heavier floor (sustained vibration
-            # wants wide windows; the HF chain handles the fast residual).
-            r_lo = max(r_lo, 10)
-    elif params.drone_high_freq_mode:
-        r_lo, r_max = 10, 45
-    else:
-        r_lo, r_max = 2, 8
+    r_lo, r_max = smoothing_radius_band(params)
     r = jnp.clip(ar, r_lo, r_max)
     sm = box_filter_emit(state.path_ring, state.n_path, e, r, r_max)
     return state, sm
@@ -601,11 +614,18 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
         # frozen afterwards.
         from video_stab_tpu.core.canvas import (adaptive_canvas_scale,
                                                 virtual_canvas_apply)
-        canvas_scale = adaptive_canvas_scale(
-            params, state.trans_ring, state.n_path, state.canvas_scale, e)
+        if getattr(params, "adaptive_canvas_size", False):
+            canvas_scale = adaptive_canvas_scale(
+                params, state.trans_ring, state.n_path, state.canvas_scale)
+            active = canvas_scale
+        else:
+            # Non-adaptive: the allocation IS the active window — no mask
+            # (and canvas_scale stays a plain constant in the state).
+            canvas_scale = jnp.float32(params.canvas_scale_factor)
+            active = None
         canvas, canvas_weight, out = virtual_canvas_apply(
             params, canvas, canvas_weight, frame, t_smooth,
-            active_scale=canvas_scale)
+            active_scale=active)
 
     out_u8 = saturate_u8(out)
     new_state = state._replace(

@@ -713,17 +713,22 @@ class PacketEncoderBridge:
         self._encoder = None
         self.units_out = 0
 
-    def encode_frame(self, frame: np.ndarray) -> Optional[List[bytes]]:
-        from video_stab_tpu.io.codec import VideoEncoder
-        from video_stab_tpu.io.sinks import bitrate_bps_app
-
+    def _ensure_encoder(self, w: int, h: int):
+        """Lazy shared init for the BGR and YUV entry points — one place
+        for the bitrate fallback / codec mapping so the two paths can't
+        drift."""
         if self._encoder is None:
-            h, w = frame.shape[:2]
+            from video_stab_tpu.io.codec import VideoEncoder
+            from video_stab_tpu.io.sinks import bitrate_bps_app
             bps = (self.bitrate_kbps * 1000 or
                    bitrate_bps_app(w, h, self.fps))
             self._encoder = VideoEncoder(w, h, self.fps, bitrate_bps=bps,
                                          codec=self.codec, zerolatency=True)
-        data = self._encoder.encode(frame)
+        return self._encoder
+
+    def encode_frame(self, frame: np.ndarray) -> Optional[List[bytes]]:
+        h, w = frame.shape[:2]
+        data = self._ensure_encoder(w, h).encode(frame)
         if not data:
             return None
         self.units_out += 1
@@ -734,17 +739,9 @@ class PacketEncoderBridge:
         ops.color.bgr_to_i420 layout) with NO host colorspace pass — the
         packet graph's sink for ChainParams.output_format="i420"
         (native/codec.cpp vs_enc_encode_yuv)."""
-        from video_stab_tpu.io.codec import VideoEncoder
-        from video_stab_tpu.io.sinks import bitrate_bps_app
-
-        if self._encoder is None:
-            h = i420.shape[0] * 2 // 3
-            w = i420.shape[1]
-            bps = (self.bitrate_kbps * 1000 or
-                   bitrate_bps_app(w, h, self.fps))
-            self._encoder = VideoEncoder(w, h, self.fps, bitrate_bps=bps,
-                                         codec=self.codec, zerolatency=True)
-        data = self._encoder.encode_yuv(i420)
+        h = i420.shape[0] * 2 // 3
+        w = i420.shape[1]
+        data = self._ensure_encoder(w, h).encode_yuv(i420)
         if not data:
             return None
         self.units_out += 1

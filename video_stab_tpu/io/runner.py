@@ -219,15 +219,18 @@ class StabilizerApp:
                 return None         # resume at the next gop boundary
             self._pkt_wait_idr = False
         out_nals = []
-        is_yuv = (self.chain is not None
-                  and self.chain.params.output_format == "i420")
         for frame in self._pkt_decoder.decode_unit(au):
             out = self._process_frame(frame)
             if out is None:
                 continue
-            if is_yuv:
-                # Device-emitted planar I420 goes straight into libx264
-                # (no host swscale; half the D2H payload).
+            # Dispatch on the frame's own layout — device-emitted planar
+            # I420 is 2-D (H*3/2, W), BGR is 3-D. Keying on the array
+            # (not self.chain) keeps this consistent with whatever chain
+            # produced it even if a hot reload swaps the chain between
+            # this read and _process_frame's snapshot.
+            if out.ndim == 2:
+                # Planar I420 goes straight into libx264 (no host
+                # swscale; half the D2H payload).
                 nals = self._pkt_encoder.encode_frame_yuv(
                     np.ascontiguousarray(out))
             else:
@@ -282,6 +285,14 @@ class StabilizerApp:
             if new_cfg.mode.tracker_enabled and self._tracker is None:
                 from video_stab_tpu.models.tracker import ObjectTracker
                 self._tracker = ObjectTracker(new_cfg.tracker)
+            elif not new_cfg.mode.tracker_enabled:
+                # Disabling the tracker must also drop the instance: the
+                # overlay gate in _process_frame keys on `_tracker is not
+                # None`, and the packet chain may have just switched to
+                # i420 output (no BGR frames to draw on).
+                if self._tracker is not None:
+                    self._tracker.release()    # join its async thread
+                self._tracker = None
         if self._initial_route() == "processed":
             self.switch_processing()
         else:

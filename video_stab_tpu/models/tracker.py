@@ -308,8 +308,12 @@ class ObjectTracker:
             t.predict()
         use_app = (gray is not None and p.enable_appearance
                    and self._tracks and dets)
+        # Patch extraction only pays off when appearance matching is on —
+        # with enable_appearance=False templates are never consulted, so
+        # skip the per-detection crop+resize on the hot path.
         patches = ([_extract_patch(gray, d.bbox, p.template_size)
-                    for d in dets] if gray is not None else
+                    for d in dets]
+                   if gray is not None and p.enable_appearance else
                    [None] * len(dets))
         if use_app:
             ncc = _ncc_matrix([t.template for t in self._tracks], patches)
@@ -330,9 +334,24 @@ class ObjectTracker:
                          -1.0)
         has_t = np.array([t.template is not None for t in self._tracks],
                          bool) if self._tracks else np.zeros(0, bool)
-        col_best = (np.where(has_t[:, None], ncc, -1.0).max(axis=0)
-                    if use_app and has_t.any()
-                    else np.full(len(dets), -1.0))
+        if use_app and has_t.any():
+            # Spatial eligibility for the veto below: only a track that
+            # could CLAIM the detection in some pass may visually veto it.
+            # Every pass requires proximity (IoU gate, IoM containment, or
+            # the re-ID distance gate — the loosest of the three), so a
+            # look-alike parked across the frame is not a claimant and
+            # must not break a match geometry already settled.
+            elig = np.zeros_like(ncc, dtype=bool)
+            for ti, t in enumerate(self._tracks):
+                cx, cy, tw, th = t.x[:4]
+                gate = p.reid_dist_gate * float(np.hypot(tw, th))
+                for di, d in enumerate(dets):
+                    x, y, bw, bh = d.bbox
+                    elig[ti, di] = (np.hypot(x + bw / 2.0 - cx,
+                                             y + bh / 2.0 - cy) <= gate)
+            col_best = np.where(has_t[:, None] & elig, ncc, -1.0).max(axis=0)
+        else:
+            col_best = np.full(len(dets), -1.0)
         if use_app and has_t.any():
             # Appearance veto: a detection whose patch matches some OTHER
             # track's template far better (margin 0.3) is visually claimed

@@ -116,6 +116,15 @@ def kalman_step(state: dict, z: jnp.ndarray,
     return {"x": xn, "p": pn}, xn[0]
 
 
+def jitter_frequency_cutoff(jitter_frequency: str) -> float:
+    """mapJitterFrequencyToCutoff (Stabilizer.cpp:2589-2602): the
+    jitter_frequency param's normalized butterworth cutoff. Shared by the
+    streaming emission (core/stabilizer.py) and the offline whole-path
+    smoother (offline.py) so the two can't drift."""
+    return {"low": 0.05, "medium": 0.1, "high": 0.25,
+            "adaptive": 0.15}.get(jitter_frequency, 0.1)
+
+
 def butterworth_cascade(state: jnp.ndarray, z: jnp.ndarray,
                         cutoff: float, order: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Incremental form of the reference butterworthFilter (2014-2041):

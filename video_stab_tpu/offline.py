@@ -110,10 +110,9 @@ def _smooth_path(params: StabilizerParams, path: jnp.ndarray) -> jnp.ndarray:
         # chain the streaming path advances per emission
         # (core/stabilizer.py; reference butterworthFilter,
         # Stabilizer.cpp:2014-2041), scanned over the batch path.
-        from video_stab_tpu.motion.filters import butterworth_cascade
-        cutoffs = {"low": 0.05, "medium": 0.1, "high": 0.25,
-                   "adaptive": 0.15}
-        cutoff = cutoffs.get(params.jitter_frequency, 0.1)
+        from video_stab_tpu.motion.filters import (butterworth_cascade,
+                                                   jitter_frequency_cutoff)
+        cutoff = jitter_frequency_cutoff(params.jitter_frequency)
 
         def bstep(carry, z):
             st, out = butterworth_cascade(carry, z, cutoff, 4)
