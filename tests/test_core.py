@@ -171,6 +171,19 @@ class TestStabilizer:
         assert len(outs) == len(frames)
         assert jitter_energy(outs[2:]) < jitter_energy(frames) * 0.5
 
+    @pytest.mark.parametrize("method", ["kalman", "butterworth"])
+    def test_homography_with_stateful_smoothers(self, jittered_clip, method):
+        """The kalman/butterworth emit-cursor smoothers must handle the
+        9-channel log-homography path ring (their init branches once
+        hard-coded 3 channels and crashed the first emit trace)."""
+        frames, _ = jittered_clip
+        st = Stabilizer(StabilizerParams(
+            smoothing_radius=5, motion_model="homography",
+            smoothing_method=method, **SMALL))
+        outs = run_clip(st, frames[:10])
+        assert len(outs) == 10
+        assert all(o.dtype == np.uint8 for o in outs)
+
     def test_virtual_canvas_runs(self, jittered_clip):
         frames, _ = jittered_clip
         st = Stabilizer(StabilizerParams(
@@ -523,7 +536,12 @@ class TestEnvelopeObservability:
         from video_stab_tpu.core.state import stabilizer_state_init
         from tests.conftest import make_bgr
 
-        params = StabilizerParams(smoothing_radius=5, **SMALL)
+        # full_res_corrections off: the hand-built raw IS the applied
+        # correction, so the boundary asserts pin WARP_MAX_SHIFT /
+        # warp_envelope_deg directly (the frame here is smaller than the
+        # analysis size, so the default rescale would move the boundary).
+        params = StabilizerParams(smoothing_radius=5,
+                                  full_res_corrections=False, **SMALL)
         h, w = 64, 96
         state = stabilizer_state_init(params, h, w)
         raw = jnp.asarray(

@@ -205,6 +205,37 @@ class TestFilterEmission:
                     ring, jnp.int32(n), jnp.int32(e), k))
                 assert np.allclose(got[0], ref[e], atol=1e-4), (n, e)
 
+    def test_adaptive_radius_homography_channel_mapping(self):
+        """For the 9-channel log-homography ring, adaptive_radius must read
+        translation from l02/l12 and rotation from the antisymmetric upper
+        2x2 — mapping the same motion as an equivalent (dx, dy, da) ring
+        onto the same radius (the raw first-three-channels read would
+        weight x-translation by the 1000x rotation factor and pin the
+        radius at max)."""
+        from video_stab_tpu.motion.filters import adaptive_radius
+
+        rng = np.random.default_rng(11)
+        n = 20
+        dx = rng.normal(0, 3, n).astype(np.float32)
+        dy = rng.normal(0, 3, n).astype(np.float32)
+        da = rng.normal(0, 0.01, n).astype(np.float32)
+
+        ring3 = jnp.zeros((64, 3), jnp.float32)
+        ring9 = jnp.zeros((64, 9), jnp.float32)
+        for i in range(n):
+            ring3 = ring_push(ring3, jnp.int32(i),
+                              jnp.asarray([dx[i], dy[i], da[i]]))
+            # Near-identity sl(3): log H ~ [[0, -da, dx], [da, 0, dy], 0].
+            l = np.zeros(9, np.float32)
+            l[1], l[3] = -da[i], da[i]
+            l[2], l[5] = dx[i], dy[i]
+            ring9 = ring_push(ring9, jnp.int32(i), jnp.asarray(l))
+
+        r3 = int(adaptive_radius(ring3, jnp.int32(n), 10))
+        r9 = int(adaptive_radius(ring9, jnp.int32(n), 10))
+        assert r3 == r9
+        assert r9 < 25          # not pinned at the band max
+
     def test_kalman_cursor_matches_full_forward_pass(self):
         rng = np.random.default_rng(10)
         path = list(np.cumsum(rng.normal(0, 1, 25)).astype(np.float32))

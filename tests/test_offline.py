@@ -55,6 +55,31 @@ class TestOffline:
         out = stabilize_clip(clip, p)
         assert out.shape == clip.shape
 
+    def test_full_res_corrections_at_reduced_analysis(self):
+        """With analysis at half the frame resolution, the applied
+        translation correction must be rescaled to frame pixels
+        (full_res_corrections=True, the default) — the reference applies
+        analysis-space dx/dy unscaled (Stabilizer.cpp:901-907) and retains
+        half the translational shake; False reproduces that quirk."""
+        rng = np.random.default_rng(5)
+        world = (cv2.GaussianBlur(
+            rng.random((320, 440)).astype(np.float32), (0, 0), 2) * 255)
+        frames = []
+        for _ in range(14):
+            dx, dy = rng.normal(0, 4, 2)
+            m = np.float32([[1, 0, -(60 + dx)], [0, 1, -(60 + dy)]])
+            f = cv2.warpAffine(world, m, (192, 128))
+            frames.append(np.repeat(f[:, :, None], 3, 2).astype(np.uint8))
+        clip = np.stack(frames)
+        kw = dict(smoothing_radius=6, analysis_width=96, analysis_height=64,
+                  max_corners=32, ransac_hypotheses=32)
+        full = stabilize_clip(clip, StabilizerParams(**kw))
+        quirk = stabilize_clip(
+            clip, StabilizerParams(full_res_corrections=False, **kw))
+        assert _jitter(full) < _jitter(clip) * 0.35
+        # The unscaled path corrects only ~half the displacement.
+        assert _jitter(full) < _jitter(quirk) * 0.8
+
     def test_non_chunk_multiple_length(self):
         clip = _clip(n=11)       # not a multiple of WARP_CHUNK
         p = StabilizerParams(smoothing_radius=5, **SMALL)

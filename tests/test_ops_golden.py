@@ -6,6 +6,7 @@ fixed-point internals.
 """
 
 import cv2
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -328,6 +329,39 @@ class TestFast:
         for fn in (ops.orb_corners, ops.brisk_corners):
             pts, mask = fn(img, 20.0, max_corners=16)
             assert np.asarray(mask).sum() >= 4   # the 4 square corners
+
+    def test_nms_topk_matches_sequential_greedy(self):
+        """The parallel-frontier greedy (_nms_compact reuse) must be EXACT
+        vs candidate-by-candidate sequential greedy NMS — the semantics the
+        fori_loop it replaced implemented."""
+        from video_stab_tpu.ops.fast import _nms_topk
+
+        rng = np.random.default_rng(3)
+        resp = rng.random((48, 64)).astype(np.float32)
+        resp[resp < 0.7] = 0.0        # sparse peaks
+        k, min_d = 32, 5.0
+        pts, mask = _nms_topk(jnp.asarray(resp), k, min_d)
+        pts, mask = np.asarray(pts), np.asarray(mask)
+
+        # Oracle: 3x3 NMS peaks, quality-ordered sequential greedy.
+        h, w = resp.shape
+        pad = np.pad(resp, 1, constant_values=-1.0)
+        neigh = np.max(
+            [pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+             if (dy, dx) != (0, 0)], axis=0)
+        cand = np.where((resp >= neigh) & (resp > 0), resp, -1.0).ravel()
+        order = np.argsort(-cand, kind="stable")
+        sel = []
+        for i in order:
+            if cand[i] <= 0 or len(sel) == k:
+                break
+            y, x = divmod(int(i), w)
+            if all((x - sx) ** 2 + (y - sy) ** 2 >= min_d * min_d
+                   for sx, sy in sel):
+                sel.append((float(x), float(y)))
+        got = [tuple(p) for p in pts[mask]]
+        assert got == sel
 
 
 class TestGfttTwoStageTopK:

@@ -61,6 +61,48 @@ class TestMultiStream:
         assert invalid_ticks == SMALL.effective_radius - 1
         assert ms.last_valid.all()
 
+    def test_batched_redetect_phase_matches_single_stream(self, jittered_clip):
+        """The batched step receives the shared frames-in counter as its
+        redetect tick; it must fire re-detection on the SAME analyze steps
+        as the single-stream path (an off-by-one here overwrites the init
+        detection on the very first analyze step). Stream 0 shares the
+        single stream's seed; a phase flip swaps a tracked point set for a
+        fresh quality-0.02 detection, moving points by many pixels — the
+        sub-pixel tolerance below only absorbs vmap-fusion rounding."""
+        from video_stab_tpu.core.stabilizer import Stabilizer
+
+        frames, _ = jittered_clip
+        p = StabilizerParams(smoothing_radius=5, analysis_width=128,
+                             analysis_height=96, max_corners=64,
+                             ransac_hypotheses=64)
+        single = Stabilizer(p)
+        ms = MultiStreamStabilizer(p, n_streams=2)
+        for f in frames[:6]:
+            single.stabilize(f)
+            ms.stabilize_batch(np.stack([f, f]))
+            ps = np.asarray(single._state.prev_pts)
+            pb = np.asarray(ms._state.prev_pts[0])
+            mk = (np.asarray(single._state.prev_mask)
+                  & np.asarray(ms._state.prev_mask[0]))
+            assert mk.sum() >= 8
+            assert np.abs(ps - pb)[mk].max() < 0.5
+
+    def test_batched_deepstab_serving_runs(self):
+        """deep_stabilization in batched serving: the multi-stream init must
+        resolve the learned-estimator weights (it once left the empty
+        pytree and crashed the first vmapped trace)."""
+        p = StabilizerParams(smoothing_radius=5, analysis_width=64,
+                             analysis_height=48, max_corners=32,
+                             ransac_hypotheses=32, deep_stabilization=True)
+        ms = MultiStreamStabilizer(p, n_streams=2)
+        rng = np.random.default_rng(4)
+        out = None
+        for _ in range(6):
+            out = ms.stabilize_batch(_batch(rng, n=2))
+        assert out is not None and out.shape == (2, 48, 64, 3)
+        ms.reset_stream(1)      # fresh slot keeps the weight leaves
+        ms.stabilize_batch(_batch(rng, n=2))
+
     def test_batched_matches_single_stream(self, jittered_clip):
         """The vmapped batched step (with the unbatched redetect tick)
         must reproduce the single-stream behavior for lockstep streams.

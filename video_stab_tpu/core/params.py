@@ -159,6 +159,17 @@ class StabilizerParams:
     motion_model: str = "similarity"  # similarity (4-DOF, reference) | homography (8-DOF log-sl(3))
     seed: int = 0                    # stream PRNG seed for RANSAC
     use_pallas: bool = True          # fused Pallas kernels on TPU where profitable
+    # Scale the applied similarity correction's translation from analysis
+    # pixels to full-frame pixels at emit. The reference estimates dx/dy on
+    # the 960x540 analysis frame and warps the FULL-RES frame with them
+    # unscaled (transforms_ push, Stabilizer.cpp:660-673; warp matrix,
+    # Stabilizer.cpp:901-907) — at 1080p that under-corrects translation 2x
+    # (4x at 4K), leaving half the translational shake in the output. True
+    # applies the evident intent (full-magnitude correction; path-space
+    # heuristics — intent, HF chain, adaptive radius — still run in
+    # analysis units); False reproduces the reference quirk bit-for-bit.
+    # The homography model always conjugates to full res at estimation.
+    full_res_corrections: bool = True
 
     @property
     def effective_radius(self) -> int:

@@ -308,8 +308,13 @@ def stabilizer_analyze_step_fn(params: StabilizerParams, state: StabilizerState,
     def keep(_):
         return curr_pts, valid
 
+    # Batched callers pass their shared frames-in counter BEFORE this tick's
+    # increment — the init step counted one frame but pushed no path entry,
+    # so that counter already equals this step's post-push n_path; no offset
+    # (a +1 here would flip the redetect parity vs the single-stream path
+    # and overwrite the init detection on the very first analyze step).
     tick = n if redetect_tick is None \
-        else jnp.asarray(redetect_tick, jnp.int32) + 1
+        else jnp.asarray(redetect_tick, jnp.int32)
     prev_pts, prev_mask = jax.lax.cond(
         (tick % params.redetect_interval) == 0, redetect, keep, None)
 
@@ -384,7 +389,8 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
         z = ring_get(state.path_ring, e)
 
         def init(_):
-            st0 = jnp.broadcast_to(z, (4, 3))
+            # Channel-generic: (3,) similarity or (9,) log-homography path.
+            st0 = jnp.broadcast_to(z, (4, z.shape[0]))
             return st0, z
 
         def step(_):
@@ -398,8 +404,9 @@ def _smoothed_at_emit(params: StabilizerParams, state: StabilizerState,
         z = ring_get(state.path_ring, e)
 
         def init(_):
+            # Channel-generic: (3,) similarity or (9,) log-homography path.
             x = jnp.stack([z, jnp.zeros_like(z)], axis=0)
-            p = jnp.zeros((2, 2, 3), jnp.float32)
+            p = jnp.zeros((2, 2, z.shape[0]), jnp.float32)
             return x, p, z
 
         def step(_):
@@ -479,6 +486,18 @@ def stabilizer_emit_step_fn(params: StabilizerParams, state: StabilizerState,
                              jnp.zeros(3, jnp.float32))
         dx, dy = t_smooth[0], t_smooth[1]
         da = jnp.where(params.horizon_lock, 0.0, t_smooth[2])  # (897-899)
+        if params.full_res_corrections:
+            # Analysis-px -> full-frame-px translation at the point of
+            # application. The reference warps the full-res frame with the
+            # analysis-space dx/dy unscaled (Stabilizer.cpp:901-907), which
+            # under-corrects translation by the analysis ratio — see
+            # StabilizerParams.full_res_corrections. Path-space heuristics
+            # above (intent, adaptive radius) stay in analysis units.
+            sxf = state.frame_ring.shape[2] / params.analysis_width
+            syf = state.frame_ring.shape[1] / params.analysis_height
+            if sxf != 1.0 or syf != 1.0:
+                dx = dx * jnp.float32(sxf)
+                dy = dy * jnp.float32(syf)
         # The applied transform (post horizon lock) — also what the virtual
         # canvas receives (the reference builds currentTransform from the
         # locked da, Stabilizer.cpp:1131).
@@ -760,30 +779,11 @@ class Stabilizer:
             self._state = jax.device_put(
                 stabilizer_state_init(self.params, h, w), jax.devices()[0])
             if self.params.deep_stabilization:
-                import os
-
                 from video_stab_tpu.models.deepstab import (
-                    create_deepstab,
-                    load_deepstab,
+                    resolve_deepstab_weights,
                 )
-                p = self.params
-                bundled = os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.abspath(
-                        __file__))), "models", "weights",
-                    "deepstab_96x160.msgpack")
-                path = p.model_path or (
-                    bundled if os.path.exists(bundled) else "")
-                if path:
-                    # Fully-convolutional + global pool: the weights are
-                    # resolution-agnostic, so the bundled 96x160-trained
-                    # net serves any analysis size.
-                    weights = load_deepstab(
-                        path, height=p.analysis_height,
-                        width=p.analysis_width)
-                else:   # untrained network (bring-up only)
-                    _, weights = create_deepstab(
-                        height=p.analysis_height, width=p.analysis_width)
-                self._state = self._state._replace(deepstab=weights)
+                self._state = self._state._replace(
+                    deepstab=resolve_deepstab_weights(self.params))
             self._shape = (h, w)
         elif self._shape != (h, w):
             raise ValueError(

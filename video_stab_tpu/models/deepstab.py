@@ -82,3 +82,26 @@ def load_deepstab(path: str, cfg: DeepStabConfig = DeepStabConfig(),
     _, template = create_deepstab(cfg, seed=seed, height=height, width=width)
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def resolve_deepstab_weights(params):
+    """Weights for ``StabilizerParams`` with deep_stabilization on:
+    ``params.model_path`` if set, else the bundled checkpoint, else a
+    freshly-initialized (untrained, bring-up only) network. Shared by the
+    single-stream wrapper and the batched multi-stream init so every
+    serving path resolves the modelPath slot identically
+    (Stabilizer.h:139-140)."""
+    import os
+
+    bundled = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "weights", "deepstab_96x160.msgpack")
+    path = params.model_path or (bundled if os.path.exists(bundled) else "")
+    if path:
+        # Fully-convolutional + global pool: the weights are
+        # resolution-agnostic, so the bundled 96x160-trained net serves
+        # any analysis size.
+        return load_deepstab(path, height=params.analysis_height,
+                             width=params.analysis_width)
+    _, weights = create_deepstab(height=params.analysis_height,
+                                 width=params.analysis_width)
+    return weights

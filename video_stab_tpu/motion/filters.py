@@ -153,11 +153,23 @@ def adaptive_radius(ring: jnp.ndarray, n_path: jnp.ndarray,
     start = jnp.maximum(0, n_path - window)
     idx = start + offs
     valid = idx <= n_path - 1
-    vals = ring_get(ring, jnp.clip(idx, 0, None))  # (20, 3)
+    vals = ring_get(ring, jnp.clip(idx, 0, None))  # (20, n_ch)
     w = valid.astype(ring.dtype)[:, None]
     count = jnp.maximum(jnp.sum(w), 1.0)
     mean = jnp.sum(vals * w, axis=0) / count
     var = jnp.sum(((vals - mean) ** 2) * w, axis=0) / count
-    total = jnp.sqrt(var[0] + var[1] + var[2] * 1000.0)
+    if ring.shape[1] == 9:
+        # Log-homography path ring (row-major sl(3) flatten): translation
+        # lives at [2]=l02 / [5]=l12 and rotation is the antisymmetric part
+        # of the upper 2x2, (l01-l10)/2 — map those onto the reference's
+        # (dx, dy, da) variance formula instead of the raw first three
+        # channels (whose [2] is x-translation and would saturate the
+        # 1000x rotation weighting).
+        rot = (vals[:, 1] - vals[:, 3]) * 0.5
+        rot_mean = jnp.sum(rot * w[:, 0]) / count
+        rot_var = jnp.sum(((rot - rot_mean) ** 2) * w[:, 0]) / count
+        total = jnp.sqrt(var[2] + var[5] + rot_var * 1000.0)
+    else:
+        total = jnp.sqrt(var[0] + var[1] + var[2] * 1000.0)
     rad = jnp.clip(total * 2.0, 5.0, 25.0).astype(jnp.int32)
     return jnp.where(n_path < 10, jnp.int32(default_radius), rad)

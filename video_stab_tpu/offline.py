@@ -253,6 +253,15 @@ def stabilize_clip(frames: np.ndarray,
     corrections = raws + (smoothed - path)
     if params.horizon_lock:
         corrections = corrections.at[:, 2].set(0.0)
+    if params.full_res_corrections:
+        # Analysis-px -> full-frame-px translation at application (the
+        # streaming path does the same at emit — see
+        # StabilizerParams.full_res_corrections and core/stabilizer.py).
+        sxo = w / params.analysis_width
+        syo = h / params.analysis_height
+        if sxo != 1.0 or syo != 1.0:
+            corrections = corrections * jnp.asarray(
+                [sxo, syo, 1.0], jnp.float32)
 
     b = params.border_pad
     out_h = h + 2 * b if (b > 0 and not params.crop_n_zoom) else h

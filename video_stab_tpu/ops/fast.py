@@ -64,7 +64,15 @@ def fast_response(gray: jnp.ndarray, threshold: float = 10.0,
 
 def _nms_topk(resp: jnp.ndarray, max_corners: int, min_distance: float,
               n_candidates: int = 1024):
-    """3x3 NMS + greedy min-distance top-K (shared with GFTT's scaffold)."""
+    """3x3 NMS + greedy min-distance top-K (shared with GFTT's scaffold).
+
+    Greedy selection runs as parallel frontier rounds (_nms_compact,
+    ops/features.py) — exact same result as candidate-by-candidate greedy,
+    but a handful of (n, n) masked-any rounds instead of n_candidates tiny
+    sequential fori_loop steps (the ~14 ms-per-2048-steps pattern
+    DESIGN.md's GFTT rework measured on a v5e)."""
+    from video_stab_tpu.ops.features import _nms_compact
+
     h, w = resp.shape
     neigh = resp
     for dy in (-1, 0, 1):
@@ -75,24 +83,8 @@ def _nms_topk(resp: jnp.ndarray, max_corners: int, min_distance: float,
     cand = jnp.where((resp >= neigh) & (resp > 0.0), resp, -1.0)
     n_cand = min(n_candidates, h * w)
     top_vals, top_idx = jax.lax.top_k(cand.reshape(-1), n_cand)
-    cand_x = (top_idx % w).astype(jnp.float32)
-    cand_y = (top_idx // w).astype(jnp.float32)
-    min_d2 = jnp.float32(min_distance * min_distance)
-
-    def body(i, carry):
-        pts, mask, count = carry
-        x, y, v = cand_x[i], cand_y[i], top_vals[i]
-        d2 = (pts[:, 0] - x) ** 2 + (pts[:, 1] - y) ** 2
-        too_close = jnp.any(mask & (d2 < min_d2))
-        ok = (v > 0.0) & (~too_close) & (count < max_corners)
-        idx = jnp.where(ok, count, 0)
-        pts = jnp.where(ok, pts.at[idx].set(jnp.stack([x, y])), pts)
-        mask = jnp.where(ok, mask.at[idx].set(True), mask)
-        return pts, mask, count + ok.astype(jnp.int32)
-
-    pts0 = jnp.zeros((max_corners, 2), jnp.float32)
-    mask0 = jnp.zeros((max_corners,), bool)
-    pts, mask, _ = jax.lax.fori_loop(0, n_cand, body, (pts0, mask0, 0))
+    pts, mask, _ = _nms_compact(top_vals, top_idx, w, max_corners,
+                                min_distance)
     return pts, mask
 
 

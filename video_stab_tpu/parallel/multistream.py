@@ -52,22 +52,29 @@ def batched_state_init(params: StabilizerParams, n_streams: int,
                        mesh: Optional[Mesh] = None) -> StabilizerState:
     """Stacked state for n_streams, with per-stream PRNG seeds, placed with
     stream-axis sharding when a mesh is given."""
+    deepstab = ()
+    if params.deep_stabilization:
+        # Resolve the learned-estimator weights once and replicate across
+        # the stream axis (streams share the model; vmap expects a leading
+        # batch dim on every state leaf). The single-stream wrapper does
+        # the same via Stabilizer._ensure_state.
+        from video_stab_tpu.models.deepstab import resolve_deepstab_weights
+        deepstab = resolve_deepstab_weights(params)
     states = [
         stabilizer_state_init(
-            dataclasses.replace(params, seed=params.seed + i), height, width)
+            dataclasses.replace(params, seed=params.seed + i), height, width
+        )._replace(deepstab=deepstab)
         for i in range(n_streams)
     ]
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
     if mesh is None:
         return jax.device_put(batched, jax.devices()[0])
-    if mesh is not None:
-        sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-        batched = jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, sharding if x.ndim >= 1 and x.shape[0] == n_streams
-                else NamedSharding(mesh, P())),
-            batched)
-    return batched
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, sharding if x.ndim >= 1 and x.shape[0] == n_streams
+            else NamedSharding(mesh, P())),
+        batched)
 
 
 class MultiStreamStabilizer:
@@ -190,6 +197,14 @@ class MultiStreamStabilizer:
         fresh = stabilizer_state_init(
             dataclasses.replace(self.params, seed=self.params.seed + i),
             h, w)
+        if self.params.deep_stabilization:
+            # Match the batched tree structure (weights leaves present) —
+            # the shared model is re-resolved; resets are rare host events.
+            from video_stab_tpu.models.deepstab import (
+                resolve_deepstab_weights,
+            )
+            fresh = fresh._replace(
+                deepstab=resolve_deepstab_weights(self.params))
 
         def put(batched, leaf):
             return batched.at[i].set(leaf)
