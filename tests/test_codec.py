@@ -541,6 +541,25 @@ class TestRTCP:
         server._last_adapt = 0.0
         server.push_frame(frame)
         assert server.current_bitrate_kbps == 1000
+
+        # One lossy report steps down ONCE: after the 2 s hysteresis
+        # expires (simulated via the injected clock), the already-consumed
+        # report must not re-trigger.
+        lossy.receiver_report = {"fraction_lost": 0.20}
+        lossy.receiver_report_time = time.monotonic()
+        server.push_frame(frame)
+        assert server.current_bitrate_kbps == 700
+        server._maybe_adapt_bitrate(now=time.monotonic() + 3.0)
+        assert server.current_bitrate_kbps == 700     # report consumed
+
+        # A reporter that merely went quiet holds the rate (absence of
+        # reports is not recovery evidence)...
+        server._maybe_adapt_bitrate(now=time.monotonic() + 11.0)
+        assert server.current_bitrate_kbps == 700
+        # ...but once the reporting client is gone entirely, recover.
+        del server._sessions["fake"]
+        server._maybe_adapt_bitrate(now=time.monotonic() + 11.0)
+        assert server.current_bitrate_kbps == 875
         server._encoder.close()
 
     def test_server_sends_sr_and_ingests_rr_tcp(self):

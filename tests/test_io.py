@@ -96,6 +96,35 @@ class TestStreamGraph:
         assert names == ["source", "processing", "output"]
         g.stop()
 
+    def test_switch_delivers_units_published_during_handover(self):
+        """A unit published to the NEW channel between set_listen_to and
+        the worker thread noticing the switch must be delivered — in the
+        packet graph that unit is the fresh re-encode branch's SPS/PPS+IDR
+        and skipping it makes a whole GOP undecodable downstream. The
+        setter captures the join cursor at call time."""
+        g = StreamGraph()
+        got = []
+
+        class ListSink:
+            def write(self, item):
+                got.append(item)
+
+            def close(self):
+                pass
+
+        g.channel("a")
+        g.channel("b")
+        out = g.add_pipeline("output", listen_to="a", sink=ListSink())
+        g.start()
+        time.sleep(0.3)       # worker blocked in subscribe("a") — nothing
+        g.set_listen_to("output", "b")     # captures b's head (seq 0) now
+        g.channel("b").publish("idr-unit")  # lands before the worker wakes
+        deadline = time.time() + 3.0
+        while not got and time.time() < deadline:
+            time.sleep(0.02)
+        g.stop()
+        assert got == ["idr-unit"]
+
 
 class TestControl:
     def test_tcp_receiver(self):
@@ -236,6 +265,27 @@ class TestNative:
         assert tcp.try_get_latest() is None
         s.close()
         tcp.stop()
+
+    def test_load_failure_is_cached(self, monkeypatch):
+        """On a toolchain-less host a failed build must be remembered —
+        otherwise every available() probe re-spawns `make` with its 120 s
+        timeout (io/codec.py's loader already does this; parity here)."""
+        from video_stab_tpu import native
+
+        calls = {"n": 0}
+
+        def failing_build():
+            calls["n"] += 1
+            return False
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_load_failed", False)
+        monkeypatch.setattr(native, "_LIB_PATH", "/nonexistent/lib.so")
+        monkeypatch.setattr(native, "_build", failing_build)
+        assert native.available() is False
+        assert native.available() is False
+        assert calls["n"] == 1          # second probe hits the cache
+        # monkeypatch restores _lib/_load_failed/_LIB_PATH for later tests
 
 
 class TestChannelBridge:

@@ -373,6 +373,160 @@ class TestUdpRtpTransport:
         assert decide(stub264, None, None) is True
 
 
+class TestPacketHardening:
+    """Regressions from the io-layer adversarial review: double starts,
+    stall-vs-EOF classification, and container codec gating."""
+
+    def test_packet_source_start_is_idempotent(self, h264_file):
+        """The runner's packet-graph builder starts the source early (for
+        the SDP/container codec); StabilizerApp.start() starts it again —
+        the second start must be a no-op, not a handle leak/reopen."""
+        from video_stab_tpu.io.packets import PacketSource
+
+        src = PacketSource(h264_file)
+        src.start()
+        handle = src._file
+        src.start()
+        assert src._file is handle
+        au = src.read()
+        assert au
+        src.stop()
+
+    def test_relay_survives_transient_stall(self):
+        """A live source returning None on a read timeout (camera pause)
+        must not terminate the relay — only eof=True may."""
+        import time
+
+        from video_stab_tpu.io.packets import PacketRelay
+
+        class StallingSource:
+            def __init__(self, n_units):
+                self._left = n_units
+                self._calls = 0
+                self.eof = False
+
+            def read(self):
+                self._calls += 1
+                if self._calls in (1, 3):    # transient stalls
+                    return None
+                if self._left > 0:
+                    self._left -= 1
+                    return [b"\x00\x00\x00\x01\x65unit"]
+                self.eof = True
+                return None
+
+        got = []
+        relay = PacketRelay(StallingSource(4),
+                            on_unit=lambda au: got.append(au)).start()
+        relay.join(timeout=5.0)
+        assert len(got) == 4
+        assert relay.units_relayed == 4
+        # And a source without an eof attribute keeps file semantics
+        # (None == EOF, relay ends).
+        class BareSource:
+            def read(self):
+                return None
+
+        relay2 = PacketRelay(BareSource()).start()
+        relay2.join(timeout=2.0)
+        assert not relay2._thread.is_alive()
+
+    def test_container_codec_gates_packet_mode(self, monkeypatch):
+        """Auto packet mode must check the INNER codec of a container —
+        the packet graph only speaks H.264/HEVC; a VP9/MPEG-4 .mp4 takes
+        the frame graph (cv2 decodes it fine) instead of relaying
+        undecodable bytes under an H264 announcement."""
+        from types import SimpleNamespace
+
+        from video_stab_tpu.io import codec as vc
+        from video_stab_tpu.io.runner import StabilizerApp
+
+        decide = StabilizerApp._decide_packet_mode
+        monkeypatch.setattr(vc, "available", lambda codec="libx264": True)
+
+        def demuxer_reporting(name):
+            class FakeDemuxer:
+                def __init__(self, path):
+                    self.codec_name = name
+
+                def close(self):
+                    pass
+            return FakeDemuxer
+
+        stub = SimpleNamespace(cfg=SimpleNamespace(
+            video_source="clip.mp4", output_source="out.mp4"))
+        monkeypatch.setattr(vc, "ContainerDemuxer",
+                            demuxer_reporting("mpeg4"))
+        assert decide(stub, None, None) is False
+        monkeypatch.setattr(vc, "ContainerDemuxer",
+                            demuxer_reporting("h264"))
+        assert decide(stub, None, None) is True
+        # An HEVC-in-mp4 source needs the HEVC encoder too.
+        monkeypatch.setattr(vc, "ContainerDemuxer",
+                            demuxer_reporting("hevc"))
+        monkeypatch.setattr(vc, "available",
+                            lambda codec="libx264": codec == "libx264")
+        assert decide(stub, None, None) is False
+
+    def test_rtsp_source_socket_survives_stall(self, h264_file):
+        """After start() the control socket must be BLOCKING with TCP
+        keepalive armed (a media stall longer than the connect timeout
+        must not raise mid-loop and read as EOF), and a read timeout on a
+        quiet-but-alive session reports a stall (eof False), not EOF."""
+        import socket as socket_mod
+        import threading
+        import time
+
+        from video_stab_tpu.io.packets import (PacketRelay, PacketSource,
+                                                RtspPacketSource)
+        from video_stab_tpu.io.rtsp import RTSPServer
+
+        server = RTSPServer(port=18562, mount="/stall", fps=30).start()
+
+        class _Push:
+            def write(self, au):
+                server.push_packet(au)
+
+        stop = threading.Event()
+
+        def feed():
+            while not stop.is_set():
+                src = PacketSource(h264_file, realtime_fps=120)
+                PacketRelay(src, sinks=[_Push()]).start().join(10.0)
+                src.stop()
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        client = None
+        try:
+            time.sleep(0.3)               # let parameter sets reach the SDP
+            client = RtspPacketSource(server.url)
+            client.start()
+            assert client.start() is client           # idempotent
+            assert client._sock.gettimeout() is None  # blocking loop socket
+            assert client._sock.getsockopt(socket_mod.SOL_SOCKET,
+                                           socket_mod.SO_KEEPALIVE) == 1
+            deadline = time.time() + 10
+            got = 0
+            while got < 3 and time.time() < deadline:
+                if client.read(timeout=1.0):
+                    got += 1
+            assert got >= 3
+            # Quiet-but-alive: stop feeding, session stays up — a read
+            # timeout is a stall, not end-of-stream.
+            stop.set()
+            t.join(timeout=12)
+            while client.read(timeout=0.3):
+                pass                      # drain what is queued
+            assert client.read(timeout=0.3) is None
+            assert client.eof is False
+        finally:
+            stop.set()
+            if client is not None:
+                client.stop()
+            server.close()
+
+
 @pytest.mark.slow
 class TestAppPacketGraph:
     """Compressed passthrough INSIDE the managed app graph (VERDICT r2 #1):

@@ -82,6 +82,7 @@ class Pipeline:
         self.graph = graph
         self.name = name
         self._listen_to = listen_to
+        self._join_seq: Optional[int] = None    # cursor captured at switch
         self.source = source
         self.processor = processor
         self.publish_to = publish_to
@@ -99,7 +100,18 @@ class Pipeline:
     @listen_to.setter
     def listen_to(self, channel_name: str) -> None:
         with self._lock:
+            if channel_name == self._listen_to:
+                return
             self._listen_to = channel_name
+            # Capture the join cursor NOW, not when the worker thread
+            # notices the switch: a unit published to the new channel
+            # between this call and the worker's next loop iteration must
+            # be delivered — in the packet graph that first unit is
+            # exactly the SPS/PPS+IDR the freshly-activated re-encode
+            # branch emits, and skipping it leaves downstream decoders
+            # with reference-less P frames for a whole GOP.
+            self._join_seq = (self.graph.channel(channel_name)._seq
+                              if channel_name is not None else None)
 
     def _next_frame(self, last_seq: int):
         if self.source is not None:
@@ -120,15 +132,19 @@ class Pipeline:
             # Hot listen-to switch: sequence numbers are PER CHANNEL, so
             # a carried-over cursor would stall until the new channel
             # catches up to the old one's count (or replay its whole
-            # retained ring). Join the new channel LIVE at its current
-            # head — the interpipe listen-to semantic (GstdManager.cpp
-            # 324-327: the output pipeline picks up the new producer's
-            # next buffer).
+            # retained ring). Join the new channel at its head AS OF the
+            # switch request (_join_seq, captured by the setter) — the
+            # interpipe listen-to semantic (GstdManager.cpp 324-327: the
+            # output pipeline picks up the new producer's next buffer),
+            # without dropping units published during the handover.
             name = self.listen_to
             if name != listened:
                 listened = name
                 if name is not None:
-                    last_seq = self.graph.channel(name)._seq
+                    with self._lock:
+                        js = self._join_seq
+                    last_seq = js if js is not None \
+                        else self.graph.channel(name)._seq
             frame, last_seq = self._next_frame(last_seq)
             if frame is None:
                 continue

@@ -180,7 +180,9 @@ class VideoEncoder:
             raise RuntimeError(f"encode failed ({n})")
         self.frames_in += 1
         self.last_was_key = bool(key.value)
-        return self._buf.raw[:n]
+        # string_at copies exactly n bytes; .raw[:n] would materialize the
+        # ENTIRE raw-frame-sized buffer per call on this hot path.
+        return ctypes.string_at(self._buf, n)
 
     def encode_yuv(self, frame_i420: np.ndarray,
                    force_key: bool = False) -> bytes:
@@ -199,7 +201,7 @@ class VideoEncoder:
             raise RuntimeError(f"encode failed ({n})")
         self.frames_in += 1
         self.last_was_key = bool(key.value)
-        return self._buf.raw[:n]
+        return ctypes.string_at(self._buf, n)   # n bytes, not the whole cap
 
     def flush(self) -> bytes:
         """Drain buffered packets at end of stream."""
@@ -212,7 +214,7 @@ class VideoEncoder:
                 raise RuntimeError(f"flush failed ({n})")
             if n == 0:
                 return out
-            out += self._buf.raw[:n]
+            out += ctypes.string_at(self._buf, n)
 
     @property
     def bytes_out(self) -> int:
@@ -270,8 +272,11 @@ class VideoDecoder:
                 raise RuntimeError(f"decode failed ({r})")
             if r == 0:
                 return frames
-            arr = np.frombuffer(self._buf.raw[:w.value * h.value * 3],
-                                dtype=np.uint8)
+            # Zero-copy view of the first w*h*3 bytes; only the final
+            # .copy() moves frame-sized data (.raw would copy the whole
+            # 4096x2304x3 capacity — ~28 MB — per decoded frame).
+            arr = np.frombuffer(self._buf, dtype=np.uint8,
+                                count=w.value * h.value * 3)
             frames.append(arr.reshape(h.value, w.value, 3).copy())
             chunk = b""  # input consumed; drain the internal queue
 
@@ -453,20 +458,22 @@ class ContainerDemuxer:
         dts = c.c_double(-1e18)
         key = c.c_int(0)
         while True:
+            # sizeof() reads the capacity without materializing the buffer
+            # (len(.raw) would copy it wholesale on every packet).
+            cap = ctypes.sizeof(self._buf)
             n = self._lib.vs_demux_read2(
-                self._h, self._buf, len(self._buf.raw),
+                self._h, self._buf, cap,
                 c.byref(pts), c.byref(dts), c.byref(key))
             if n != -2:
                 break
-            if len(self._buf.raw) >= (1 << 28):
+            if cap >= (1 << 28):
                 raise RuntimeError(
                     "demuxed packet exceeds 256 MB buffer cap")
-            self._buf = ctypes.create_string_buffer(
-                len(self._buf.raw) * 2)
+            self._buf = ctypes.create_string_buffer(cap * 2)
         if n <= 0:
             return None
         self.packets_read += 1
-        return (self._buf.raw[:n],
+        return (ctypes.string_at(self._buf, n),
                 pts.value if pts.value > -1e17 else None,
                 dts.value if dts.value > -1e17 else None,
                 bool(key.value))

@@ -32,7 +32,8 @@ from typing import Callable, Iterator, List, Optional
 
 import numpy as np
 
-from video_stab_tpu.io.codec import (VideoDecoder, is_param_set, nal_type,
+from video_stab_tpu.io.codec import (VideoDecoder, hevc_nal_type,
+                                     is_param_set, nal_type,
                                      split_nal_units)
 from video_stab_tpu.io.codec import is_irap as codec_is_irap
 from video_stab_tpu.utils.telemetry import get_logger
@@ -125,7 +126,8 @@ class PacketSource:
         self.units_read = 0
 
     def start(self) -> "PacketSource":
-        self._file = open(self.path, "rb")
+        if self._file is None:      # idempotent: the runner's packet graph
+            self._file = open(self.path, "rb")  # builder starts it early
         return self
 
     @property
@@ -175,6 +177,13 @@ class PacketSource:
         self.units_read += 1
         return self._aus.pop(0)
 
+    @property
+    def eof(self) -> bool:
+        """True once read() has returned None for end-of-stream (files
+        never stall, so None always means EOF here; the property exists
+        for surface parity with the live RTSP source)."""
+        return self._eof and not self._aus
+
     def stop(self) -> None:
         if self._file is not None:
             self._file.close()
@@ -201,7 +210,8 @@ class ContainerPacketSource:
 
     def start(self) -> "ContainerPacketSource":
         from video_stab_tpu.io.codec import ContainerDemuxer
-        self._demux = ContainerDemuxer(self.path)
+        if self._demux is None:     # idempotent: the runner's packet graph
+            self._demux = ContainerDemuxer(self.path)  # builder starts it
         return self
 
     @property
@@ -246,6 +256,11 @@ class ContainerPacketSource:
             time.sleep(1.0 / self.realtime_fps)
         self.units_read += 1
         return self._pending.pop(0)
+
+    @property
+    def eof(self) -> bool:
+        """Surface parity with PacketSource/RtspPacketSource.eof."""
+        return self._eof and not self._pending
 
     def stop(self) -> None:
         if self._demux is not None:
@@ -310,6 +325,8 @@ class RtspPacketSource:
         self.codec_name = "h264"        # from the SDP rtpmap (h264 | hevc)
         self.units_read = 0
         self.units_dropped = 0          # overflow drops (see emit_au)
+        self.eof = False                # set when read() consumes the
+                                        # receive loop's EOF sentinel
         self._drop_resync = False       # held until the next IDR after one
 
     # -- RTSP control ------------------------------------------------------
@@ -643,7 +660,22 @@ class RtspPacketSource:
 
     # -- PacketSource surface ----------------------------------------------
     def start(self) -> "RtspPacketSource":
-        self._connect()
+        if self._thread is not None:    # idempotent: the runner's packet
+            return self                 # graph builder starts the source
+        self._connect()                 # early for the SDP codec
+        # The handshake ran under the connect timeout; the receive loops
+        # must NOT inherit it — a media stall longer than the timeout
+        # between keepalive replies would raise mid-loop and read as EOF
+        # (and a timeout mid-payload would desync the interleaved framing).
+        # Block indefinitely and let the kernel's TCP keepalive detect a
+        # dead peer (~60 s); stop() closes the socket to unblock.
+        self._sock.settimeout(None)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
+        for opt, val in (("TCP_KEEPIDLE", 30), ("TCP_KEEPINTVL", 10),
+                         ("TCP_KEEPCNT", 3)):
+            if hasattr(socket, opt):
+                self._sock.setsockopt(socket.IPPROTO_TCP,
+                                      getattr(socket, opt), val)
         loop = self._udp_loop if self.transport == "udp" else self._rtp_loop
         self._thread = threading.Thread(target=loop, daemon=True,
                                         name="rtsp-packet-source")
@@ -653,13 +685,17 @@ class RtspPacketSource:
         return self
 
     def read(self, timeout: float = 5.0) -> Optional[List[bytes]]:
+        """One access unit, or None on EOF *or* a transient stall — check
+        ``eof`` to distinguish (PacketRelay does; a live camera pausing
+        longer than the queue timeout must not read as end-of-stream)."""
         if self._thread is None:
             self.start()
         try:
             au = self._queue.get(timeout=timeout)
         except queue.Empty:
-            return None
+            return None                 # transient: eof stays False
         if au is None:
+            self.eof = True             # the receive loop's EOF sentinel
             return None
         self.units_read += 1
         return au
@@ -907,11 +943,10 @@ class ContainerPacketSink:
         self._lib = None
         self.units_written = 0
 
-    def _hevc_type(self, nal: bytes) -> int:
-        raw = nal[4:] if nal[:4] == b"\x00\x00\x00\x01" else nal[3:]
-        return ((raw[0] >> 1) & 0x3F) if raw else -1
-
     def _open(self, au: List[bytes]) -> bool:
+        # NAL classification comes from io/codec (hevc_nal_type /
+        # is_param_set / is_irap) — the single classifier the rest of the
+        # packet graph uses, so a refinement there can't miss this sink.
         from video_stab_tpu.io import codec as vc
         lib = vc._load()
         if lib is None:
@@ -920,14 +955,11 @@ class ContainerPacketSink:
             # H.264 SPS (type 7) and HEVC SPS (type 33) bytes are disjoint.
             if any(nal_type(n) == 7 for n in au):
                 self.codec = "h264"
-            elif any(self._hevc_type(n) == 33 for n in au):
+            elif any(hevc_nal_type(n) == 33 for n in au):
                 self.codec = "hevc"
             else:
                 return False    # wait for a parameter-set-bearing unit
-        if self.codec in ("hevc", "h265"):
-            ps = [n for n in au if self._hevc_type(n) in (32, 33, 34)]
-        else:
-            ps = [n for n in au if nal_type(n) in (7, 8)]
+        ps = [n for n in au if is_param_set(n, self.codec)]
         if not ps:
             return False        # wait for a unit with parameter sets
         extra = b"".join(ps)
@@ -936,7 +968,7 @@ class ContainerPacketSink:
             # (still no decoder).
             hevc = self.codec in ("hevc", "h265")
             sps = next((n for n in ps
-                        if (self._hevc_type(n) == 33 if hevc
+                        if (hevc_nal_type(n) == 33 if hevc
                             else nal_type(n) == 7)), None)
             dims = sps_dimensions(sps, hevc=hevc) if sps else None
             if dims:
@@ -953,10 +985,7 @@ class ContainerPacketSink:
         if self._h is None and not self._open(au):
             return
         blob = b"".join(au)
-        if self.codec in ("hevc", "h265"):
-            key = any(16 <= self._hevc_type(n) <= 21 for n in au)
-        else:
-            key = any(nal_type(n) == 5 for n in au)
+        key = any(codec_is_irap(n, self.codec) for n in au)
         pts = getattr(au, "pts", None)
         if pts is not None:
             # Preserve container timestamps (AccessUnit from a demuxed
@@ -1127,7 +1156,12 @@ class PacketRelay:
         while not self._stop.is_set():
             au = self.source.read()
             if au is None:
-                break
+                # A live RTSP source also returns None on a transient
+                # read-timeout stall — only a source reporting EOF ends
+                # the relay (a camera pausing >5 s must not kill it).
+                if getattr(self.source, "eof", True):
+                    break
+                continue
             for s in self.sinks:
                 s.write(au)
             if self.on_unit is not None:

@@ -423,19 +423,30 @@ class RTSPServer(FrameSink):
         bitrate down x0.7 (floor: nominal/5) and IDR so decoders recover
         at the new rate; after a sustained clean window, step back up
         x1.25 toward the nominal ceiling. Hysteresis: >=2 s between
-        downsteps, >=10 s before any upstep; reports older than 5 s are
-        ignored (the lossy client may be gone)."""
+        downsteps, >=10 s before any upstep, and each downstep consumes
+        its triggering report — a single lossy RR steps once, not once
+        per hysteresis window. Upsteps require a FRESH clean report (or
+        no reporting receivers at all); reporters that have merely gone
+        quiet hold the current rate — absence of reports is not evidence
+        the path recovered, and treating it as clean would flap
+        down/up/down at the RR cadence with a full encoder reopen + IDR
+        each time."""
         if not self.adapt_bitrate or self._encoder is None:
             return
         now = time.monotonic() if now is None else now
         with self._slock:
-            fresh = [s.receiver_report["fraction_lost"]
-                     for s in self._sessions.values()
-                     if s.receiver_report is not None
-                     and now - s.receiver_report_time <= 5.0]
-        worst = max(fresh, default=0.0)
+            reports = [(s.receiver_report["fraction_lost"],
+                        s.receiver_report_time)
+                       for s in self._sessions.values()
+                       if s.receiver_report is not None]
+        fresh = [(lost, t) for lost, t in reports if now - t <= 5.0]
+        # Only reports newer than the last rate change can trigger the
+        # next one (per-report consumption).
+        worst_new = max((lost for lost, t in fresh
+                         if t > self._last_adapt), default=None)
         cur = self._kbps_current
-        if worst >= 0.05 and now - self._last_adapt >= 2.0:
+        if (worst_new is not None and worst_new >= 0.05
+                and now - self._last_adapt >= 2.0):
             target = max(int(cur * 0.7), max(self._kbps_nominal // 5, 100))
             if target < cur:
                 self._open_encoder(self._encoder.width,
@@ -443,9 +454,13 @@ class RTSPServer(FrameSink):
                 self._force_key = True
                 self._last_adapt = now
                 self.log.info("RTCP loss %.1f%% -> bitrate %d kbps",
-                              worst * 100.0, target)
-        elif (worst < 0.01 and cur < self._kbps_nominal
-              and now - self._last_adapt >= 10.0):
+                              worst_new * 100.0, target)
+            return
+        if cur >= self._kbps_nominal or now - self._last_adapt < 10.0:
+            return
+        clean_evidence = (fresh and max(lost for lost, _ in fresh) < 0.01) \
+            or not reports      # nobody reports RTCP (or the reporter left)
+        if clean_evidence:
             target = min(int(cur * 1.25), self._kbps_nominal)
             self._open_encoder(self._encoder.width,
                                self._encoder.height, target)

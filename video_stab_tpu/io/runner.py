@@ -97,15 +97,34 @@ class StabilizerApp:
         from video_stab_tpu.io.codec import available
         src = self.cfg.video_source
         out = self.cfg.output_source
+        container_codec = None
         src_ok = (src.endswith((".h264", ".264", ".h265", ".265", ".hevc"))
-                  or src.endswith((".mp4", ".m4v", ".mkv", ".mov"))
                   or src.startswith("rtsp://"))
+        if not src_ok and src.endswith((".mp4", ".m4v", ".mkv", ".mov")):
+            # A container is only packet-capable when its video stream is
+            # H.264/HEVC — the packet graph speaks nothing else (the demux
+            # BSF falls back to "null" for other codecs and the relay
+            # would ship undecodable bytes under an H264 announcement).
+            # One header-only demux open answers this; anything else
+            # (VP9/AV1/MPEG-4...) takes the frame graph, which cv2
+            # decodes fine.
+            try:
+                from video_stab_tpu.io.codec import ContainerDemuxer
+                d = ContainerDemuxer(src)
+                container_codec = d.codec_name
+                src_ok = container_codec in ("h264", "hevc", "h265")
+                d.close()
+            except Exception:
+                src_ok = False
+        if not src_ok:
+            return False
         out_ok = (not out or out == "null"
                   or out.endswith((".h264", ".264", ".h265", ".265", ".hevc",
                                    ".mp4", ".m4v", ".mkv", ".mov"))
                   or out.startswith("rtsp://"))
         enc_ok = available("libx264")
         if src.endswith((".h265", ".265", ".hevc")) \
+                or container_codec in ("hevc", "h265") \
                 or out.endswith((".h265", ".265", ".hevc")):
             # An HEVC stream stays HEVC through processing (the sink's
             # rtpmap/mux and the encoder bridge are codec-threaded), so
@@ -374,8 +393,13 @@ class StabilizerApp:
     def switch_processing(self):
         if self.packet_mode:
             self._pkt_wait_idr = True     # decoder attaches at the next IDR
-            self._pkt_active = True
+            # Point the output at the processed channel BEFORE activating
+            # the re-encode branch: the listen_to setter captures the join
+            # cursor at call time, so ordering this first guarantees the
+            # branch's first emitted unit (SPS/PPS+IDR) is delivered even
+            # if it publishes before the output thread's next iteration.
             self.graph.set_listen_to("output", "processed_pkt")
+            self._pkt_active = True
         else:
             self.graph.set_listen_to("output", "processed")
 

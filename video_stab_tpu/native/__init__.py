@@ -22,6 +22,9 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libvstab_host.so")
 _lib = None
+_load_failed = False     # cache a failed build: without it every
+                         # available() probe on a toolchain-less host would
+                         # re-spawn `make` with its 120 s timeout
 _lock = threading.Lock()
 
 
@@ -35,11 +38,14 @@ def _build() -> bool:
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     with _lock:
         if _lib is not None:
             return _lib
+        if _load_failed:
+            return None
         if not os.path.exists(_LIB_PATH) and not _build():
+            _load_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         lib.vstab_ring_create.restype = ctypes.c_void_p
