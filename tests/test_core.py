@@ -455,6 +455,47 @@ class TestProcessingChain:
         outs = [o for f in frames if (o := ch.process(f)) is not None]
         assert jitter_energy(outs[2:]) < jitter_energy(frames) * 0.9
 
+    def test_chain_flush_drains_lookahead(self, jittered_clip):
+        """A finite stream must not lose its last effective_radius frames:
+        process() + flush() together emit exactly as many frames as were
+        pushed (the Stabilizer.flush counterpart for the fused chain)."""
+        frames, _ = jittered_clip
+        ch = self._chain(stabilizer_enabled=True)
+        outs = [o for f in frames[:10] if (o := ch.process(f)) is not None]
+        while (o := ch.flush()) is not None:
+            outs.append(o)
+        assert len(outs) == 10
+        # Flush parity with the unfused stabilizer, frame for frame.
+        ch2 = self._chain(stabilizer_enabled=True)
+        st = Stabilizer(StabilizerParams(smoothing_radius=5, **SMALL))
+        a = [o for f in frames[:10] if (o := ch2.process(f)) is not None]
+        b = [o for f in frames[:10] if (o := st.stabilize(f)) is not None]
+        while (o := ch2.flush()) is not None:
+            a.append(o)
+        while (o := st.flush()) is not None:
+            b.append(o)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+
+    def test_chain_deepstab_runs(self, jittered_clip):
+        """deep_stabilization through the FUSED chain (the default runner
+        path): chain_state_init must resolve the learned-estimator weights
+        (it once left the empty pytree and crashed the first trace)."""
+        from video_stab_tpu.core.chain import ProcessingChain
+        from video_stab_tpu.core.params import (EnhancerParams, ModeParams,
+                                                RollCorrectionParams)
+
+        frames, _ = jittered_clip
+        ch = ProcessingChain(
+            ModeParams(stabilizer_enabled=True),
+            EnhancerParams(), RollCorrectionParams(),
+            StabilizerParams(smoothing_radius=5, deep_stabilization=True,
+                             **SMALL))
+        outs = [o for f in frames[:7] if (o := ch.process(f)) is not None]
+        assert len(outs) == 7 - 4
+        assert outs[0].dtype == np.uint8
+
     def test_chain_matches_stabilizer_when_only_stab(self, jittered_clip):
         # enhancer/roll disabled -> the fused chain must equal the plain
         # Stabilizer output frame-for-frame.

@@ -174,7 +174,23 @@ def cmd_selftest(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench  # repo-root bench.py
+    # bench.py lives at the repo root (a measurement harness, not package
+    # code); a bare import only resolves with cwd=repo-root, so fall back
+    # to the location relative to this file for any other cwd.
+    try:
+        import bench
+    except ModuleNotFoundError:
+        import importlib.util
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+        if not os.path.exists(path):
+            print(json.dumps({"error": "bench.py not found (repo-root "
+                                       "harness; not shipped in installs)"}))
+            return 1
+        spec = importlib.util.spec_from_file_location("bench", path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
     bench.main()
     return 0
 

@@ -144,10 +144,16 @@ class ChainState(NamedTuple):
 
 def chain_state_init(params: ChainParams, height: int, width: int
                      ) -> ChainState:
-    return ChainState(
-        roll=roll_state_init(),
-        stab=stabilizer_state_init(params.stabilizer, height, width),
-    )
+    stab = stabilizer_state_init(params.stabilizer, height, width)
+    if params.mode.stabilizer_enabled \
+            and params.stabilizer.deep_stabilization:
+        # Same weight resolution as the unfused Stabilizer wrapper and the
+        # batched multi-stream init — without it the analyze step's
+        # net.apply(state.deepstab, ...) traces over an empty pytree.
+        from video_stab_tpu.models.deepstab import resolve_deepstab_weights
+        stab = stab._replace(
+            deepstab=resolve_deepstab_weights(params.stabilizer))
+    return ChainState(roll=roll_state_init(), stab=stab)
 
 
 def _pre_stages(params: ChainParams, state: ChainState,
@@ -302,8 +308,21 @@ def chain_analyze_step_fn(params: ChainParams, state: ChainState,
     return ChainState(roll=roll_state, stab=stab)
 
 
+def chain_flush_step_fn(params: ChainParams, state: ChainState
+                        ) -> tuple[ChainState, jnp.ndarray]:
+    """Emit-only step: drain one frame from the stabilizer's look-ahead
+    queue at end of stream (Stabilizer.flush semantics, Stabilizer.cpp:
+    394-400), through the same delivered-format epilogue."""
+    sp = params.stabilizer_eff if params.roll_fusion_active \
+        else params.stabilizer
+    stab, out = stabilizer_emit_step_fn(sp, state.stab)
+    return ChainState(roll=state.roll, stab=stab), _deliver(params, out)
+
+
 chain_init_step = jax.jit(chain_init_step_fn, static_argnums=0,
                           donate_argnums=1)
+chain_flush_step = jax.jit(chain_flush_step_fn, static_argnums=0,
+                           donate_argnums=1)
 chain_analyze_step = jax.jit(chain_analyze_step_fn, static_argnums=0,
                              donate_argnums=1)
 chain_step = jax.jit(chain_step_fn, static_argnums=0, donate_argnums=1)
@@ -390,6 +409,21 @@ class ProcessingChain:
         """Pipelined mode: fetch the final in-flight output."""
         prev, self._pending = self._pending, None
         return np.asarray(prev) if prev is not None else None
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Drain one remaining look-ahead frame at end of stream — without
+        this a finite stream loses its last effective_radius frames (the
+        Stabilizer.flush counterpart for the fused chain). The pipelined
+        in-flight output (drain) is returned first."""
+        if self._pending is not None:
+            return self.drain()
+        p = self.params
+        if (self._state is None or not p.mode.stabilizer_enabled
+                or self._frames_in - self._emitted <= 0):
+            return None
+        self._state, out = chain_flush_step(p, self._state)
+        self._emitted += 1
+        return np.asarray(out)
 
     def clean(self):
         self._state = None

@@ -277,12 +277,17 @@ class EnhancerParams:
 
 @dataclasses.dataclass(frozen=True)
 class AutoZoomCropParams:
-    """Auto zoom-crop parameters (src/AutoZoomCrop.cpp). The reference exposes
-    only ``marginPercent`` (AutoZoomCrop.h:15) and hardcodes its output size
-    (AutoZoomCrop.cpp:246-270)."""
+    """Auto zoom-crop parameters (src/AutoZoomCrop.cpp). The reference's
+    only declared knob ``marginPercent`` (AutoZoomCrop.h:15, default 5%) is
+    DEAD in its implementation — the parameter name is commented out of
+    the definition (AutoZoomCrop.cpp:102 ``double /*marginPercent*/``) and
+    never read. Accepted here for config parity with the same inert
+    behavior (wiring it would also break the no-black passthrough
+    identity, tested in test_core.py). The output size is hardcoded
+    640x360 in the reference (AutoZoomCrop.cpp:246-270); exposed here."""
 
     enabled: bool = False                # pair with roll correction (roll-correction-file.cpp:61-68)
-    margin_percent: float = 5.0
+    margin_percent: float = 5.0          # parsed, inert (dead in the reference too — see docstring)
     content_threshold: float = 10.0      # black-border threshold (AutoZoomCrop.cpp:122)
     morph_kernel: int = 5                # morphological close (AutoZoomCrop.cpp:130-139)
     out_width: int = 640                 # hardcoded 640x360 (AutoZoomCrop.cpp:246)

@@ -444,6 +444,24 @@ class StabilizerApp:
             self.tcp.stop()
         if self.rest:
             self.rest.stop()
+        if getattr(self, "chain", None) is not None \
+                and getattr(self, "sink", None) is not None \
+                and not self.packet_mode:    # packet sinks take AUs, and
+                                             # the packet graph is a live
+                                             # relay (no end-of-file drain)
+            # Drain the stabilizer's look-ahead queue into the sink before
+            # the graph closes it — a finite stream otherwise loses its
+            # last effective_radius frames (Stabilizer.cpp:394-400 flush).
+            # Pipeline worker threads stop first so the drain's writes
+            # can't interleave with the output pipeline's.
+            for p_ in self.graph._pipelines.values():
+                p_.stop()
+            try:
+                while (o := self.chain.flush()) is not None:
+                    self.sink.write(o)
+                    self._frames_out += 1
+            except Exception:
+                pass        # sink already closed by a racing shutdown
         self.graph.stop()
         if self.packet_mode:
             self._pkt_decoder.close()

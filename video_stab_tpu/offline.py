@@ -35,32 +35,28 @@ from video_stab_tpu.ops.warp import BORDER_CONSTANT, similarity_matrix, warp_aff
 WARP_CHUNK = 8      # frames warped per vmapped dispatch
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _analyze_clip(params: StabilizerParams, frames_u8: jnp.ndarray,
-                  key: jax.Array) -> jnp.ndarray:
-    """(T, H, W, 3) -> (T, 3) raw transforms (transform[0] = 0)."""
-
+def _scan_motion(params: StabilizerParams, frames_u8: jnp.ndarray,
+                 key: jax.Array, estimate) -> jnp.ndarray:
+    """Shared motion-analysis scan over the clip: analysis gray + GFTT init
+    + per-step LK track / redetect cadence, with ``estimate(pts, curr_pts,
+    valid, sub)`` supplying the per-step motion output (similarity (3,) or
+    log-homography (3, 3)) — ONE copy of the scan skeleton so a fix to the
+    tracking/redetect logic can't silently miss a motion model."""
     grays = jax.vmap(lambda f: _analysis_gray(params, f.astype(jnp.float32))
                      )(frames_u8)
-
     pts0, mask0 = good_features_to_track(
         grays[0], max_corners=params.max_corners,
         quality_level=params.quality_level,
         min_distance=params.min_distance, block_size=params.block_size)
 
-    def step(carry, inp):
+    def step(carry, gray):
         prev_gray, pts, mask, key, i = carry
-        gray = inp
         curr_pts, status, _ = lk_track(
             prev_gray, gray, pts, mask, win=params.lk_window,
             max_level=params.lk_levels, iters=params.lk_iters)
         valid = mask & status
         key, sub = jax.random.split(key)
-        m, _ok, _inl = estimate_similarity_ransac(
-            pts, curr_pts, valid, sub, threshold=params.ransac_threshold,
-            n_hypotheses=params.ransac_hypotheses)
-        raw = jnp.stack([m[0, 2], m[1, 2],
-                         jnp.arctan2(m[1, 0], m[0, 0])])
+        out = estimate(pts, curr_pts, valid, sub)
 
         def redetect(_):
             return good_features_to_track(
@@ -72,13 +68,30 @@ def _analyze_clip(params: StabilizerParams, frames_u8: jnp.ndarray,
 
         pts, mask = jax.lax.cond(
             (i % params.redetect_interval) == 0, redetect, keep, None)
-        return (gray, pts, mask, key, i + 1), raw
+        return (gray, pts, mask, key, i + 1), out
 
-    (_, _, _, _, _), raws = jax.lax.scan(
+    (_, _, _, _, _), outs = jax.lax.scan(
         step, (grays[0], pts0, mask0, key, jnp.int32(1)), grays[1:])
+    return outs
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _analyze_clip(params: StabilizerParams, frames_u8: jnp.ndarray,
+                  key: jax.Array) -> jnp.ndarray:
+    """(T, H, W, 3) -> (T, 3) raw transforms, LAST entry zero (forward-
+    motion convention — see the tail comment)."""
+
+    def estimate(pts, curr_pts, valid, sub):
+        m, _ok, _inl = estimate_similarity_ransac(
+            pts, curr_pts, valid, sub, threshold=params.ransac_threshold,
+            n_hypotheses=params.ransac_hypotheses)
+        return jnp.stack([m[0, 2], m[1, 2],
+                          jnp.arctan2(m[1, 0], m[0, 0])])
+
+    raws = _scan_motion(params, frames_u8, key, estimate)
     # Forward-motion convention: transform[e] = motion e -> e+1, matching the
     # streaming stabilizer where frame e's transform is pushed while frame
-    # e+1 is analyzed (Stabilizer.cpp:376-380 + emission at 850). The last
+    # e+1 is analyzed (Stabilizer.cpp:376-380 + emission at 850). The LAST
     # frame has no forward motion (zero, like flush past the queue end).
     # The vidgear correction formula raw + (smoothed - path) is only
     # stabilizing under THIS alignment: warped position of frame e becomes
@@ -158,44 +171,18 @@ def _analyze_clip_homography(params: StabilizerParams,
         log_homography,
     )
 
-    grays = jax.vmap(lambda f: _analysis_gray(params, f.astype(jnp.float32))
-                     )(frames_u8)
-    pts0, mask0 = good_features_to_track(
-        grays[0], max_corners=params.max_corners,
-        quality_level=params.quality_level,
-        min_distance=params.min_distance, block_size=params.block_size)
-
     sx = frames_u8.shape[2] / params.analysis_width
     sy = frames_u8.shape[1] / params.analysis_height
     s_mat = jnp.diag(jnp.asarray([sx, sy, 1.0], jnp.float32))
     s_inv = jnp.diag(jnp.asarray([1.0 / sx, 1.0 / sy, 1.0], jnp.float32))
 
-    def step(carry, gray):
-        prev_gray, pts, mask, key, i = carry
-        curr_pts, status, _ = lk_track(
-            prev_gray, gray, pts, mask, win=params.lk_window,
-            max_level=params.lk_levels, iters=params.lk_iters)
-        valid = mask & status
-        key, sub = jax.random.split(key)
+    def estimate(pts, curr_pts, valid, sub):
         h_mat, _ok, _inl = estimate_homography_ransac(
             pts, curr_pts, valid, sub, threshold=params.ransac_threshold,
             n_hypotheses=params.ransac_hypotheses)
-        log_h = log_homography(s_mat @ h_mat @ s_inv)
+        return log_homography(s_mat @ h_mat @ s_inv)
 
-        def redetect(_):
-            return good_features_to_track(
-                gray, max_corners=params.max_corners, quality_level=0.02,
-                min_distance=15.0, block_size=3)
-
-        def keep(_):
-            return curr_pts, valid
-
-        pts, mask = jax.lax.cond(
-            (i % params.redetect_interval) == 0, redetect, keep, None)
-        return (gray, pts, mask, key, i + 1), log_h
-
-    (_, _, _, _, _), logs = jax.lax.scan(
-        step, (grays[0], pts0, mask0, key, jnp.int32(1)), grays[1:])
+    logs = _scan_motion(params, frames_u8, key, estimate)
     return jnp.concatenate([logs, jnp.zeros((1, 3, 3), jnp.float32)], axis=0)
 
 
@@ -212,15 +199,17 @@ def _stabilize_clip_homography(frames: np.ndarray,
 
     from video_stab_tpu.ops.warp import warp_perspective_fast
 
-    def warp_chunk(chunk_u8, hs):
-        def one(frame_u8, hm):
-            # branch="large": vmapped caller — a batched-predicate
-            # small/large cond would run both branches (see pallas/warp.py).
-            out = warp_perspective_fast(frame_u8, hm,
-                                        border_mode=BORDER_CONSTANT,
-                                        branch="large")
-            return saturate_u8(out)
-        return jax.jit(jax.vmap(one))(chunk_u8, hs)
+    def one(frame_u8, hm):
+        # branch="large": vmapped caller — a batched-predicate
+        # small/large cond would run both branches (see pallas/warp.py).
+        out = warp_perspective_fast(frame_u8, hm,
+                                    border_mode=BORDER_CONSTANT,
+                                    branch="large")
+        return saturate_u8(out)
+
+    # Jitted ONCE outside the chunk loop — a fresh jit(vmap(...)) object
+    # per chunk would retrace the identical program every 8 frames.
+    warp_chunk = jax.jit(jax.vmap(one))
 
     outs = []
     for start in range(0, t, WARP_CHUNK):
@@ -264,8 +253,18 @@ def stabilize_clip(frames: np.ndarray,
                 [sxo, syo, 1.0], jnp.float32)
 
     b = params.border_pad
-    out_h = h + 2 * b if (b > 0 and not params.crop_n_zoom) else h
-    out_w = w + 2 * b if (b > 0 and not params.crop_n_zoom) else w
+
+    # The corrections are concrete at this point (offline), so the fast
+    # Pallas/tiled warp — exact bilinear INSIDE its static envelope, ~an
+    # order of magnitude faster than the per-pixel gather warp_affine on
+    # TPU — is selected exactly when every correction fits the envelope;
+    # out-of-envelope clips (strong drift under a wide smoother) keep the
+    # unbounded gather warp rather than silently clamping. One tiny sync
+    # on a (T, 3) array; batch jobs are not dispatch-bound.
+    cmax = np.asarray(jnp.max(jnp.abs(corrections), axis=0))
+    use_fast = bool(
+        max(cmax[0], cmax[1]) <= 100.0
+        and np.degrees(cmax[2]) <= params.warp_envelope_deg)
 
     @functools.partial(jax.jit, static_argnums=())
     def warp_chunk(chunk_u8, corr):
@@ -274,7 +273,14 @@ def stabilize_clip(frames: np.ndarray,
             if b > 0 and not params.crop_n_zoom:
                 f = jnp.pad(f, ((b, b), (b, b), (0, 0)))
             m = similarity_matrix(c[0], c[1], c[2])
-            out = warp_affine(f, m, border_mode=BORDER_CONSTANT)
+            if use_fast:
+                from video_stab_tpu.ops.warp import warp_affine_fast
+                out = warp_affine_fast(
+                    f, m, border_mode=BORDER_CONSTANT,
+                    max_angle_deg=params.warp_envelope_deg,
+                    max_shift=128, branch="large")
+            else:
+                out = warp_affine(f, m, border_mode=BORDER_CONSTANT)
             if params.crop_n_zoom and b > 0:
                 out = resize_bilinear(out[b:h - b, b:w - b], h, w)
             return saturate_u8(out)
