@@ -286,13 +286,16 @@ def _bench_dispatch(h, w, n_iters, smoothing_radius=15, mode="compute"):
     for i in range(params.effective_radius + 1):
         state, *res = step(params, state, frames[i % 4])
     force(res)
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, *res = step(params, state, frames[i % 4])
-        if mode in ("full", "yuv"):
-            np.asarray(res[0])          # host must actually receive it
-    force(res)
-    dt = time.perf_counter() - t0
+    # Compile/warm-up above runs unlocked (overlaps other configs'
+    # compiles); only the timed loop is exclusive.
+    with _measure_lock():
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, *res = step(params, state, frames[i % 4])
+            if mode in ("full", "yuv"):
+                np.asarray(res[0])      # host must actually receive it
+        force(res)
+        dt = time.perf_counter() - t0
     return n_iters / dt, dt / n_iters * 1e3
 
 
@@ -409,27 +412,43 @@ def _bench_end_to_end(h, w, n_frames=240, fps_in=30, output_format="i420",
     q_in: "queue.Queue" = queue.Queue(maxsize=8)
     q_out: "queue.Queue" = queue.Queue(maxsize=8)
     enc_bytes = [0]
+    worker_err: list = []       # a dead worker must fail the config, not
+                                # deadlock the main loop INSIDE .bench_lock
+                                # (which would starve every other config)
 
     def decode_loop():
-        dec = VideoDecoder()
-        src = PacketSource(clip)
-        while (au := src.read()) is not None:
-            for fr in dec.decode(b"".join(au)):
+        try:
+            dec = VideoDecoder()
+            src = PacketSource(clip)
+            while (au := src.read()) is not None:
+                for fr in dec.decode(b"".join(au)):
+                    q_in.put(fr)
+            for fr in dec.flush():
                 q_in.put(fr)
-        for fr in dec.flush():
-            q_in.put(fr)
-        dec.close()
-        src.stop()
-        q_in.put(None)
+            dec.close()
+            src.stop()
+        except Exception as e:
+            worker_err.append(f"decode: {e!r}")
+        finally:
+            try:
+                q_in.put(None, timeout=10)
+            except queue.Full:
+                pass
 
     def encode_loop():
-        enc = VideoEncoder(w, h, fps_in, bitrate_bps=bps, zerolatency=True)
-        while (fr := q_out.get()) is not None:
-            fr = np.ascontiguousarray(fr)
-            enc_bytes[0] += len(enc.encode_yuv(fr) if is_i420
-                                else enc.encode(fr))
-        enc_bytes[0] += len(enc.flush())
-        enc.close()
+        try:
+            enc = VideoEncoder(w, h, fps_in, bitrate_bps=bps,
+                               zerolatency=True)
+            while (fr := q_out.get()) is not None:
+                fr = np.ascontiguousarray(fr)
+                enc_bytes[0] += len(enc.encode_yuv(fr) if is_i420
+                                    else enc.encode(fr))
+            enc_bytes[0] += len(enc.flush())
+            enc.close()
+        except Exception as e:
+            worker_err.append(f"encode: {e!r}")
+            while q_out.get() is not None:
+                pass        # keep draining so the producer never blocks
 
     td = threading.Thread(target=decode_loop, daemon=True)
     te = threading.Thread(target=encode_loop, daemon=True)
@@ -438,7 +457,14 @@ def _bench_end_to_end(h, w, n_frames=240, fps_in=30, output_format="i420",
         t0 = time.perf_counter()
         td.start()
         te.start()
-        while (fr := q_in.get()) is not None:
+        while True:
+            try:
+                fr = q_in.get(timeout=120.0)
+            except queue.Empty:         # host decode can't take minutes —
+                worker_err.append("decode stalled")     # a wedged worker
+                break
+            if fr is None:
+                break
             out = chain.process(fr[:, :, :3])
             if out is not None:
                 q_out.put(out)
@@ -448,9 +474,17 @@ def _bench_end_to_end(h, w, n_frames=240, fps_in=30, output_format="i420",
             q_out.put(tail)
             delivered += 1
         q_out.put(None)
-        te.join()
-        td.join()
+        te.join(timeout=120.0)
+        td.join(timeout=10.0)
         dt = time.perf_counter() - t0
+    if worker_err:
+        import sys
+        sys.stderr.write(f"e2e worker failure: {worker_err}\n")
+        try:
+            os.unlink(clip)
+        except OSError:
+            pass
+        return None, None, stage
     try:
         os.unlink(clip)
     except OSError:
@@ -492,9 +526,15 @@ def _transfer_gbps():
         down = nbytes / (time.perf_counter() - t0) / 1e9
         return up, down
 
-    up, down = probe(256 * 1024)
-    if min(up, down) > 0.05:            # plausible enough: measure properly
-        up, down = probe(32 * 1024 * 1024)
+    # Exclusive like every other timed section: a child's locked stage
+    # overlapping this probe's transfers corrupts BOTH measurements (the
+    # probe reads degraded, halving headline iters; the child's stage ms
+    # inflates). Probes are sub-second healthy / bounded degraded, so the
+    # wait is short.
+    with _measure_lock():
+        up, down = probe(256 * 1024)
+        if min(up, down) > 0.05:        # plausible enough: measure properly
+            up, down = probe(32 * 1024 * 1024)
     return round(up, 2), round(down, 2)
 
 

@@ -47,7 +47,7 @@ def main():
     sink = open_packet_sink(args.output)
     bridge = PacketDecoderBridge()
     st = None
-    n = relayed = processed = 0
+    n = relayed = decoded = stabilized = 0
     while True:
         au = src.read()
         if au is None:
@@ -58,20 +58,27 @@ def main():
             assert not bridge.decoder_constructed
         else:
             for frame in bridge.decode_unit(au):
+                decoded += 1
                 if st is None:
                     st = Stabilizer(StabilizerParams(smoothing_radius=10))
-                out = st.stabilize(frame)
-                if out is not None:
-                    processed += 1
+                if st.stabilize(frame) is not None:
+                    stabilized += 1
         n += 1
+    # End-of-stream: drain the decoder's reorder tail through the
+    # stabilizer too, then flush the stabilizer's own look-ahead queue.
     for frame in bridge.flush():
-        processed += 1
+        decoded += 1
+        if st is not None and st.stabilize(frame) is not None:
+            stabilized += 1
+    if st is not None:
+        while st.flush() is not None:
+            stabilized += 1
     had_decoder = bridge.decoder_constructed
     sink.close()
     src.stop()
     bridge.close()
     print(f"access units: {n}  relayed byte-identical: {relayed}  "
-          f"decoded frames: {processed}  "
+          f"decoded frames: {decoded}  stabilized frames: {stabilized}  "
           f"decoder constructed: {had_decoder}")
     # Note: after a mid-stream switch, decoding resumes at the next IDR
     # (gop boundary) — the same resync semantics as any streaming client.

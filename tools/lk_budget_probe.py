@@ -53,7 +53,10 @@ def make_scan(iters):
             a = jax.lax.dynamic_index_in_dim(gs, i % 4, keepdims=False)
             b = jax.lax.dynamic_index_in_dim(gs, (i + 1) % 4,
                                              keepdims=False)
-            curr, st, _err = lk_track(a, b, pts0, mask0, iters=iters)
+            # Track the CARRIED pts (not the pts0 constant) so the chain
+            # update below is live and iterations are data-dependent —
+            # otherwise LICM/overlap make the scan measure fake-fast.
+            curr, st, _err = lk_track(a, b, pts, mask0, iters=iters)
             pts = pts + 1e-6 * (curr - pts)
             return (gs, pts), jnp.sum(st.astype(jnp.int32))
         c, ms = jax.lax.scan(body, (gs, pts),
@@ -69,7 +72,10 @@ def timed(name, fn, carry, n_iters=3):
     float(np.asarray(m).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        c2, m = compiled(carry)
+        # Chain reps through the carry (TIMING RULE, warp_tile_probe.py):
+        # data-independent repeats overlap on this runtime and
+        # under-measure by large factors.
+        c2, m = compiled(c2)
     float(np.asarray(m).ravel()[0])
     dt = (time.perf_counter() - t0) / (n_iters * K) * 1e3
     print(f"{name:28s} {dt:8.4f} ms/iter", flush=True)

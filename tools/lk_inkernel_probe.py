@@ -211,9 +211,14 @@ def run(img, pts):
 def timed(fn, reps):
     r = fn(img, pts)
     r.block_until_ready()
+    p = pts
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = fn(img, pts)
+        # Chain reps through a data dependence (TIMING RULE,
+        # warp_tile_probe.py): independent repeats overlap on this
+        # runtime and under-measure by large factors.
+        r = fn(img, p)
+        p = p + 0.0 * r[0, 0]
     r.block_until_ready()
     return (time.perf_counter() - t0) / reps, float(r[0, 0])
 

@@ -83,8 +83,12 @@ r.block_until_ready()
 print(f"compile+run: {time.perf_counter() - t0:.1f}s result={float(r[0,0]):.6f}")
 t0 = time.perf_counter()
 REP = 50
+p = pts
 for _ in range(REP):
-    r = run(img, pts)
+    # Chained reps (TIMING RULE, warp_tile_probe.py): data-independent
+    # repeats overlap on this runtime and under-measure badly.
+    r = run(img, p)
+    p = p + 0.0 * r[0, 0]
 r.block_until_ready()
 dt = (time.perf_counter() - t0) / REP
 print(f"per-call: {dt*1e3:.3f} ms  per step: {dt/ITERS*1e6:.2f} us "

@@ -80,6 +80,9 @@ from video_stab_tpu.ops.resize import resize_bilinear
 
 def scan_gray(img):
     def body(c, i):
+        # i-dependent carry chain (one-element flip): a loop-invariant
+        # body gets LICM-hoisted and measures the harness floor.
+        c = c.at[0, 0, 0].set((i % 2).astype(c.dtype))
         g = resize_bilinear(bgr_to_gray(c.astype(jnp.float32)),
                             params.analysis_height, params.analysis_width)
         return c, jnp.mean(g)

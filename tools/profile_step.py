@@ -210,6 +210,11 @@ def scan_analyze_warm(st):
 
 def scan_gray_resize(f):
     def body(c, i):
+        # i-dependent carry chain: a loop-invariant body gets hoisted out
+        # of the scan by XLA LICM and measures the harness floor (the
+        # 'hoisted, fake' failure the scan_lk comment documents). One
+        # element flips per iteration — negligible cost, defeats LICM.
+        c = c.at[0, 0, 0].set((i % 2).astype(c.dtype))
         g = resize_bilinear(bgr_to_gray(c.astype(jnp.float32)),
                             params.analysis_height, params.analysis_width)
         return c, jnp.mean(g)

@@ -10,12 +10,14 @@ stable to 0.5 u8-levels across all 14,400 frames.
 
 Run:  timeout 3000 python tools/soak_probe.py
 """
-import sys, time
-sys.path.insert(0, "/root/repo")
+import os, sys, time
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 import numpy as np
 import jax, jax.numpy as jnp
 from video_stab_tpu.utils.cache import compilation_cache_dir
-jax.config.update("jax_compilation_cache_dir", compilation_cache_dir("/root/repo/.jax_cache"))
+jax.config.update("jax_compilation_cache_dir",
+                  compilation_cache_dir(os.path.join(_ROOT, ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from bench import _make_pool
 from video_stab_tpu.core.params import StabilizerParams

@@ -10,6 +10,9 @@
 #                echo $! > /tmp/tpu_watcher.pid
 set -u
 cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpu_window     # status lives here; tpu_window.sh also
+                             # creates it, but never runs if the tunnel
+                             # stays down for every probe
 MAX_WINDOWS=${MAX_WINDOWS:-4}
 PROBES=${PROBES:-330}        # 330 × (2 min sleep + ≤90 s probe) ≈ 12-19 h
 windows=0

@@ -35,15 +35,16 @@ if mode == "noroll":
         return x
     pltpu.roll = fake_roll
 elif mode == "notaps":
-    # Keep slicing/rolls; single tap only (isolates MAC cost).
-    def one_term(_deg):
+    # Keep slicing/rolls; single tap only (isolates MAC cost). Signature
+    # mirrors pallas/warp._envelope_terms(max_angle_deg, th, tw).
+    def one_term(_deg, th=None, tw=None):
         return 1, 1
     W._envelope_terms = one_term
 elif mode == "floor":
     # No rolls AND single tap: pipeline + convert + store only.
     from jax.experimental.pallas import tpu as pltpu
     pltpu.roll = lambda x, shift, axis: x
-    def one_term(_deg):
+    def one_term(_deg, th=None, tw=None):
         return 1, 1
     W._envelope_terms = one_term
 
